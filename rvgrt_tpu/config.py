@@ -1,0 +1,268 @@
+"""Engine configuration.
+
+The CUDA reference hardcodes every tunable at compile time (world dims in
+``cumath.cuh:19-31``, resolutions in ``State.hpp:28-32``, SDF/GI coarseness in
+``CoarseArray.cuh:9-21``, cone constants in ``raytracing_functions.cuh:9-12``,
+terrain constants in ``TerrainGeneration.cuh:286-310``, sun direction in
+``StateRender.cu:299``).  Here all of that is collected into frozen dataclasses
+so a single config object defines a world + render pipeline; static fields are
+hashable so they can be closed over by ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+
+
+def _normalize3(v: tuple[float, float, float]) -> tuple[float, float, float]:
+    n = math.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
+    return (v[0] / n, v[1] / n, v[2] / n)
+
+
+@dataclass(frozen=True)
+class WorldConfig:
+    """Voxel world dimensions and derived coarse-grid shapes.
+
+    Mirrors the constants in the reference's ``cumath.cuh`` (SHIX/Y/Z = 12/9/12
+    for the 4096x512x4096 world) and ``CoarseArray.cuh`` (COARSENESSSDF=2,
+    COARSENESSGI=4, SDF_MAX_DIST=64).  The linear voxel index is
+    ``x | y << shift_x | z << (shift_x + shift_y)`` - x fastest - matching
+    ``toIndex`` (``cumath.cuh:33-45``).
+    """
+
+    shift_x: int = 12
+    shift_y: int = 9
+    shift_z: int = 12
+
+    sdf_coarseness: int = 2
+    gi_coarseness: int = 4
+    sdf_max_dist: int = 64
+
+    # fillKernel: solid <=> Evaluate(x,y,z) > 0.7 (CArray.cu:27)
+    solid_threshold: float = 0.7
+
+    # --- derived sizes ---
+    @property
+    def size_x(self) -> int:
+        return 1 << self.shift_x
+
+    @property
+    def size_y(self) -> int:
+        return 1 << self.shift_y
+
+    @property
+    def size_z(self) -> int:
+        return 1 << self.shift_z
+
+    @property
+    def num_voxels(self) -> int:
+        return self.size_x * self.size_y * self.size_z
+
+    @property
+    def num_words(self) -> int:
+        """Number of uint32 words in the bit-packed occupancy grid."""
+        return self.num_voxels // 32
+
+    @property
+    def sdf_size_x(self) -> int:
+        return self.size_x // self.sdf_coarseness
+
+    @property
+    def sdf_size_y(self) -> int:
+        return self.size_y // self.sdf_coarseness
+
+    @property
+    def sdf_size_z(self) -> int:
+        return self.size_z // self.sdf_coarseness
+
+    @property
+    def sdf_num_cells(self) -> int:
+        return self.sdf_size_x * self.sdf_size_y * self.sdf_size_z
+
+    @property
+    def gi_size_x(self) -> int:
+        return self.size_x // self.gi_coarseness
+
+    @property
+    def gi_size_y(self) -> int:
+        return self.size_y // self.gi_coarseness
+
+    @property
+    def gi_size_z(self) -> int:
+        return self.size_z // self.gi_coarseness
+
+    @property
+    def gi_num_cells(self) -> int:
+        return self.gi_size_x * self.gi_size_y * self.gi_size_z
+
+    def validate(self) -> None:
+        assert self.size_x % (32 * self.sdf_coarseness) == 0
+        assert self.size_y % self.sdf_coarseness == 0
+        assert self.size_z % self.sdf_coarseness == 0
+        assert self.size_x % self.gi_coarseness == 0
+        assert self.size_y % self.gi_coarseness == 0
+        assert self.size_z % self.gi_coarseness == 0
+
+    def with_cube(self, shift: int) -> "WorldConfig":
+        return dataclasses.replace(self, shift_x=shift, shift_y=shift, shift_z=shift)
+
+
+@dataclass(frozen=True)
+class TerrainConfig:
+    """Procedural terrain constants (``TerrainGeneration.cuh:286-310``,
+    header version - the ``.cu`` twin with GROUND_LEVEL=140 is dead code)."""
+
+    ground_level: float = 10.0
+    plains_amplitude: float = 60.0
+    mountain_amplitude: float = 400.0
+    biome_frequency: float = 0.005
+
+    surface_octaves: int = 7
+    surface_frequency: float = 0.002
+    surface_lacunarity: float = 2.1
+    surface_persistence: float = 0.45
+
+    cave_octaves: int = 3
+    cave_frequency: float = 0.009
+    cave_carve_value: float = 2.0
+    spaghetti_threshold: float = 0.025
+    cavern_region_freq: float = 0.006
+    cavern_threshold: float = 0.3
+
+    water_floor_y: float = 30.0  # solid below this (TerrainGeneration.cuh:312)
+
+
+@dataclass(frozen=True)
+class LightingConfig:
+    """Sun / sky / water / fog / GI constants.
+
+    sun_dir = normalize(10,5,-4) (``StateRender.cu:299``); sun color (10,9,2)
+    HDR (``cumath.cuh:17``); water color/reflectivity (``StateRender.cu:19-20``);
+    cone constants (``raytracing_functions.cuh:9-12``); fog
+    (``StateRender.cu:140-145``); GI EMA rate (``CoarseArray.cu:339``).
+    """
+
+    sun_dir: tuple[float, float, float] = _normalize3((10.0, 5.0, -4.0))
+    sun_color: tuple[float, float, float] = (10.0, 9.0, 2.0)
+    sky_horizon: tuple[float, float, float] = (0.2, 0.4, 0.8)
+    sky_zenith: tuple[float, float, float] = (0.6, 0.8, 1.0)
+    sun_disc_cos: float = 0.999
+
+    water_level: float = 31.001
+    water_color: tuple[float, float, float] = (0.0, 0.1, 0.3)
+    water_reflectivity: float = 0.08
+
+    fog_density: float = 0.0004
+    fog_color: tuple[float, float, float] = (0.95, 0.95, 1.0)
+
+    num_cones: int = 6
+    cone_angle: float = 0.4
+    gi_max_distance: float = 64.0
+    gi_step_size: float = 1.5
+    gi_strength: float = 0.6
+    gi_learning_rate: float = 0.04
+    ambient_strength: float = 0.05
+    shadow_factor: float = 0.2  # dist-prepass shadow (StateRender.cu:282)
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Per-frame pipeline shapes and tracer iteration budgets.
+
+    Render 1280x800, display (upscaled) 3840x2400 (``State.hpp:28-32``); the
+    distance/shadow prepass runs at half render res (``StateRender.cu:310-321``).
+    Tracer budgets: 5 major iterations x (<=100 sphere steps, <=200 DDA steps),
+    SDF re-probe every 8 DDA steps (``raytracing_functions.cu:105-141``).
+    """
+
+    width: int = 1280
+    height: int = 800
+    display_width: int = 3840
+    display_height: int = 2400
+
+    fov_degrees: float = 60.0
+    near_plane: float = 0.1
+    far_plane: float = 50000.0
+
+    # tracer budgets
+    max_major_iterations: int = 5
+    max_sphere_steps: int = 100
+    max_dda_steps: int = 200
+    sdf_probe_interval: int = 8
+    sphere_stop_dist: float = 1.0
+    jump_min_dist: int = 2
+
+    # wavefront tracer: hard cap on supersteps (worst case in the reference is
+    # 5 * (100 + 200); real rays converge in tens of steps)
+    max_supersteps: int = 1536
+
+    miss_distance: float = 300.0  # distApproximationKernel miss (StateRender.cu:276)
+    dist_bias: float = 8.0        # conservative bias (StateRender.cu:284)
+
+    @property
+    def half_width(self) -> int:
+        return self.width // 2
+
+    @property
+    def half_height(self) -> int:
+        return self.height // 2
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    world: WorldConfig = WorldConfig()
+    terrain: TerrainConfig = TerrainConfig()
+    lighting: LightingConfig = LightingConfig()
+    render: RenderConfig = RenderConfig()
+
+    # GI cells progressively updated per frame (RAYPS = 64^3, CoarseArray.cu:372)
+    gi_rays_per_frame: int = 64 * 64 * 64
+
+
+# The five staged benchmark configs from BASELINE.json.
+def config_stage1() -> EngineConfig:
+    """256^3 world, 320x240 primary-rays-only DDA."""
+    return EngineConfig(
+        world=WorldConfig().with_cube(8),
+        render=dataclasses.replace(RenderConfig(), width=320, height=240),
+    )
+
+
+def config_stage2() -> EngineConfig:
+    """512^3 world, texturepack + hard shadows, 720p."""
+    return EngineConfig(
+        world=WorldConfig().with_cube(9),
+        render=dataclasses.replace(RenderConfig(), width=1280, height=720),
+    )
+
+
+def config_stage3() -> EngineConfig:
+    """1024^3 world, hybrid SDF+DDA, 1080p - the headline config."""
+    return EngineConfig(
+        world=WorldConfig().with_cube(10),
+        render=dataclasses.replace(RenderConfig(), width=1920, height=1080),
+        gi_rays_per_frame=64 * 64 * 64,
+    )
+
+
+def config_stage4() -> EngineConfig:
+    """1024^3 + VCT GI + reflections at 1080p."""
+    return config_stage3()
+
+
+def config_stage5() -> EngineConfig:
+    """2048^3 streaming world, low-res primary + learned upscale to 4K."""
+    return EngineConfig(
+        world=WorldConfig().with_cube(11),
+        render=dataclasses.replace(
+            RenderConfig(), width=1280, height=800,
+            display_width=3840, display_height=2400,
+        ),
+    )
+
+
+def config_reference() -> EngineConfig:
+    """The reference's own 4096x512x4096 world at 1280x800."""
+    return EngineConfig()

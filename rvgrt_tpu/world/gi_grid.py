@@ -1,0 +1,90 @@
+"""GI radiance grid: RGBA8 cells packed one-per-uint32 word.
+
+The reference stores the progressively path-traced radiance cache as a
+``uchar4`` grid at 4x world coarseness (``CoarseArray.cuh:16-21``).  Here each
+cell is a single uint32 (R | G<<8 | B<<16 | A<<24) so a radiance lookup is ONE
+gather word from HBM, unpacked with shifts on the VPU - the TPU-shaped
+version of the uchar4 load.
+
+Quantization semantics match the reference exactly: colors live in [0,1],
+stored as ``trunc(min(c,1) * 255)`` (C float->uchar cast truncates,
+``CoarseArray.cu:351-354``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rvgrt_tpu.config import WorldConfig
+
+_U32 = jnp.uint32
+_F32 = jnp.float32
+
+
+def pack_rgba8(r, g, b, a=None):
+    """float [0,1] channels -> uint32 RGBA words (truncating quantize)."""
+    def q(c):
+        return (jnp.minimum(c, _F32(1.0)) * _F32(255.0)).astype(_U32)
+    if a is None:
+        aa = jnp.full_like(jnp.asarray(r, _F32), 1.0)
+    else:
+        aa = a
+    return q(r) | (q(g) << 8) | (q(b) << 16) | (q(aa) << 24)
+
+
+def unpack_rgba8(words):
+    """uint32 RGBA words -> (r, g, b, a) float32 in [0,1]."""
+    inv = _F32(1.0 / 255.0)
+    r = (words & _U32(0xFF)).astype(_F32) * inv
+    g = ((words >> 8) & _U32(0xFF)).astype(_F32) * inv
+    b = ((words >> 16) & _U32(0xFF)).astype(_F32) * inv
+    a = ((words >> 24) & _U32(0xFF)).astype(_F32) * inv
+    return r, g, b, a
+
+
+def cell_index(cfg: WorldConfig, gx, gy, gz):
+    """Linear GI-cell index (z-major, x fastest) like the reference's
+    ``gz*GX*GY + gy*GX + gx`` (``raytracing_functions.cu:254``)."""
+    return (jnp.asarray(gz, jnp.int32) * (cfg.gi_size_x * cfg.gi_size_y)
+            + jnp.asarray(gy, jnp.int32) * cfg.gi_size_x
+            + jnp.asarray(gx, jnp.int32))
+
+
+def sample_at_world(gi: jax.Array, cfg: WorldConfig, wx, wy, wz):
+    """Gather radiance at world-space float positions.
+
+    ``gx = floor(pos.x) / COARSENESSGI`` with bounds check
+    (``raytracing_functions.cu:247-252``); out-of-bounds returns
+    (0,0,0,0) contribution via a validity mask.
+    Returns (r, g, b, a, in_bounds).
+    """
+    c = cfg.gi_coarseness
+    gx = (jnp.floor(jnp.asarray(wx, _F32)).astype(jnp.int32)) // c
+    gy = (jnp.floor(jnp.asarray(wy, _F32)).astype(jnp.int32)) // c
+    gz = (jnp.floor(jnp.asarray(wz, _F32)).astype(jnp.int32)) // c
+    ok = ((gx >= 0) & (gx < cfg.gi_size_x)
+          & (gy >= 0) & (gy < cfg.gi_size_y)
+          & (gz >= 0) & (gz < cfg.gi_size_z))
+    idx = cell_index(cfg, jnp.clip(gx, 0, cfg.gi_size_x - 1),
+                     jnp.clip(gy, 0, cfg.gi_size_y - 1),
+                     jnp.clip(gz, 0, cfg.gi_size_z - 1))
+    words = jnp.take(gi, idx, mode="clip")
+    r, g, b, a = unpack_rgba8(words)
+    return r, g, b, a, ok
+
+
+def cell_world_centers(cfg: WorldConfig, idx):
+    """World position of GI cell centers: (c + 0.5) * COARSENESSGI
+    (``CoarseArray.cu:291-293``)."""
+    gx = idx % cfg.gi_size_x
+    gy = (idx // cfg.gi_size_x) % cfg.gi_size_y
+    gz = idx // (cfg.gi_size_x * cfg.gi_size_y)
+    s = _F32(cfg.gi_coarseness)
+    return ((gx.astype(_F32) + 0.5) * s,
+            (gy.astype(_F32) + 0.5) * s,
+            (gz.astype(_F32) + 0.5) * s)
+
+
+def zeros(cfg: WorldConfig) -> jax.Array:
+    return jnp.zeros((cfg.gi_num_cells,), _U32)

@@ -1,0 +1,126 @@
+"""Bit-packed voxel occupancy grid in HBM.
+
+Replaces the reference's ``CArray`` (``include/CArray.cuh``, ``src/CArray.cu``):
+a device buffer of uint32 words, 1 bit per voxel, x-fastest — word ``w``
+holds voxels ``x = 32*w .. 32*w+31`` at fixed (y, z), and the linear bit index
+is ``x | y << shift_x | z << (shift_x + shift_y)`` (``toIndex``,
+``cumath.cuh:33-45``).  ``generate`` is the ``fillKernel`` equivalent
+(``CArray.cu:8-30``): evaluate the terrain density at every voxel and pack
+``density > 0.7`` bits — done slab-by-slab with ``lax.map`` so the unpacked
+boolean volume never materializes in HBM.
+
+Word indices stay int32: the word count is ``num_voxels / 32`` ≤ 2^28 even for
+the reference's 2^33-voxel world.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rvgrt_tpu.config import TerrainConfig, WorldConfig
+from rvgrt_tpu.core import terrain
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+# Bit weights for packing 32 bools into a uint32 (bit b = voxel x%32 == b).
+_BIT_WEIGHTS = tuple(1 << b for b in range(32))
+
+
+def pack_bits_x(solid: jax.Array) -> jax.Array:
+    """Pack a (..., X) bool array into (..., X//32) uint32 words, x-fastest."""
+    *lead, x = solid.shape
+    assert x % 32 == 0
+    grouped = solid.reshape(*lead, x // 32, 32).astype(_U32)
+    weights = jnp.asarray(_BIT_WEIGHTS, _U32)
+    return (grouped * weights).sum(axis=-1, dtype=_U32)
+
+
+def unpack_bits_x(words: jax.Array) -> jax.Array:
+    """Inverse of pack_bits_x: (..., W) uint32 -> (..., W*32) bool."""
+    *lead, w = words.shape
+    shifts = jnp.arange(32, dtype=_U32)
+    bits = (words[..., None] >> shifts) & _U32(1)
+    return bits.reshape(*lead, w * 32).astype(jnp.bool_)
+
+
+def generate(cfg: WorldConfig, tcfg: TerrainConfig = TerrainConfig(),
+             slab_z: int = 8) -> jax.Array:
+    """Procedurally generate the world -> flat (num_words,) uint32.
+
+    Pure function of (cfg, tcfg): deterministic regeneration is the
+    checkpoint format, as in the reference (State.cpp:44-54).
+    """
+    cfg.validate()
+    sx, sy, sz = cfg.size_x, cfg.size_y, cfg.size_z
+    slab_z = min(slab_z, sz)
+    assert sz % slab_z == 0
+
+    xs = jnp.arange(sx, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(sy, dtype=jnp.float32)[None, :, None]
+    thr = jnp.float32(cfg.solid_threshold)
+
+    def slab(z0):
+        zs = (z0 + jnp.arange(slab_z, dtype=_I32)).astype(jnp.float32)
+        zs = zs[:, None, None]
+        density = terrain.evaluate_density(xs, ys, zs, tcfg)
+        return pack_bits_x(density > thr)  # (slab_z, sy, sx//32)
+
+    z_starts = jnp.arange(0, sz, slab_z, dtype=_I32)
+    words = jax.lax.map(slab, z_starts)  # (n_slabs, slab_z, sy, sx//32)
+    return words.reshape(-1)
+
+
+def word_index(cfg: WorldConfig, x, y, z):
+    """Word + bit position of voxel (x, y, z); int32-safe for all configs."""
+    wi = ((x >> 5)
+          | (y << (cfg.shift_x - 5))
+          | (z << (cfg.shift_x + cfg.shift_y - 5))).astype(_I32)
+    return wi, (x & 31).astype(_U32)
+
+
+def is_solid(bits: jax.Array, cfg: WorldConfig, x, y, z):
+    """Gather occupancy bits at int voxel coords; broadcasts over arrays.
+
+    Equivalent of ``IsSolid`` (``raytracing_functions.cuh:23-26``).  Like
+    ``toIndex``, coordinates wrap modulo the world size (callers bounds-check
+    first, as the reference tracer does).
+    """
+    x = jnp.asarray(x, _I32) & (cfg.size_x - 1)
+    y = jnp.asarray(y, _I32) & (cfg.size_y - 1)
+    z = jnp.asarray(z, _I32) & (cfg.size_z - 1)
+    wi, bit = word_index(cfg, x, y, z)
+    words = jnp.take(bits, wi, mode="clip")
+    return ((words >> bit) & _U32(1)).astype(jnp.bool_)
+
+
+def coarse_occupancy(bits: jax.Array, cfg: WorldConfig,
+                     coarseness: int | None = None) -> jax.Array:
+    """(SZ, SY, SX) bool: coarse cell solid iff any fine voxel inside is
+    (``isCoarseBlockSolid``, ``CoarseArray.cu:11-32``).
+
+    Works on packed words without unpacking the full fine volume: OR-reduce
+    words over the coarse block in y/z, then fold 32-voxel words down to
+    per-coarse-cell booleans along x.
+    """
+    c = cfg.sdf_coarseness if coarseness is None else coarseness
+    sx, sy, sz = cfg.size_x, cfg.size_y, cfg.size_z
+    words = bits.reshape(sz, sy, sx // 32)
+
+    # OR words over the cxc (y,z) footprint of each coarse cell.
+    w = words.reshape(sz // c, c, sy // c, c, sx // 32)
+    w = jax.lax.reduce(w, _U32(0), jax.lax.bitwise_or, (1, 3))
+    return _fold_x(w, sx, c)
+
+
+def _fold_x(w: jax.Array, sx: int, c: int) -> jax.Array:
+    """Fold (..., sx//32) uint32 OR-ed words into (..., sx//c) bools."""
+    # Each word covers 32/c coarse cells along x: split the word into c-bit
+    # groups and test non-zero.
+    cells_per_word = 32 // c
+    mask = _U32((1 << c) - 1)
+    shifts = (jnp.arange(cells_per_word, dtype=_U32) * _U32(c))
+    groups = (w[..., None] >> shifts) & mask  # (..., sx//32, cells_per_word)
+    solid = groups != _U32(0)
+    return solid.reshape(*w.shape[:-1], sx // c)

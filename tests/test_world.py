@@ -1,0 +1,140 @@
+"""World layer tests: bit packing, is_solid gathers, coarse occupancy, SDF.
+
+The SDF is checked against a scalar emulation of the reference's 3-pass
+pipeline (``CoarseArray.cu:37-152``) *including* its intermediate uint8
+truncation - which underestimates the true Euclidean distance for some cells
+(safe for sphere tracing; preserved deliberately).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rvgrt_tpu.config import WorldConfig
+from rvgrt_tpu.core import terrain
+from rvgrt_tpu.world import sdf as sdf_mod
+from rvgrt_tpu.world import voxel_grid as vg
+
+
+@pytest.fixture(scope="module")
+def world64():
+    cfg = WorldConfig().with_cube(6)
+    bits = vg.generate(cfg)
+    fine = np.asarray(vg.unpack_bits_x(
+        np.asarray(bits).reshape(cfg.size_z, cfg.size_y, cfg.size_x // 32)))
+    return cfg, bits, fine
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    sol = rng.random((4, 8, 64)) > 0.5
+    words = vg.pack_bits_x(jnp.asarray(sol))
+    assert words.dtype == jnp.uint32
+    np.testing.assert_array_equal(np.asarray(vg.unpack_bits_x(words)), sol)
+
+
+def test_generate_matches_density(world64):
+    cfg, _, fine = world64
+    rng = np.random.default_rng(1)
+    xs = rng.integers(0, cfg.size_x, 128)
+    ys = rng.integers(0, cfg.size_y, 128)
+    zs = rng.integers(0, cfg.size_z, 128)
+    dens = np.asarray(terrain.evaluate_density(
+        xs.astype(np.float32), ys.astype(np.float32), zs.astype(np.float32)))
+    np.testing.assert_array_equal(fine[zs, ys, xs],
+                                  dens > cfg.solid_threshold)
+
+
+def test_is_solid_gather(world64):
+    cfg, bits, fine = world64
+    rng = np.random.default_rng(2)
+    xs = rng.integers(0, cfg.size_x, 256)
+    ys = rng.integers(0, cfg.size_y, 256)
+    zs = rng.integers(0, cfg.size_z, 256)
+    got = np.asarray(vg.is_solid(bits, cfg, xs, ys, zs))
+    np.testing.assert_array_equal(got, fine[zs, ys, xs])
+
+
+def test_coarse_occupancy(world64):
+    cfg, bits, fine = world64
+    got = np.asarray(vg.coarse_occupancy(bits, cfg))
+    c = cfg.sdf_coarseness
+    want = fine.reshape(cfg.size_z // c, c, cfg.size_y // c, c,
+                        cfg.size_x // c, c).any(axis=(1, 3, 5))
+    np.testing.assert_array_equal(got, want)
+
+
+def _scalar_sdf_pipeline(solid: np.ndarray, cap: int) -> np.ndarray:
+    """Scalar emulation of the reference's three passes with uint8 truncation
+    between them (the golden model for build_sdf)."""
+    sz, sy, sx = solid.shape
+    # pass X: nearest solid along x, capped
+    dist_x = np.full(solid.shape, cap, np.int32)
+    for z in range(sz):
+        for y in range(sy):
+            xs = np.where(solid[z, y])[0]
+            if len(xs) == 0:
+                continue
+            d = np.abs(np.arange(sx)[:, None] - xs[None, :]).min(axis=1)
+            dist_x[z, y] = np.minimum(d, cap)
+
+    def minconv(prev, axis):
+        sq = prev.astype(np.int64) ** 2
+        best = sq.copy()
+        for off in range(1, min(cap, prev.shape[axis] - 1) + 1):
+            off2 = off * off
+            lo = np.full_like(sq, 2 * cap * cap + 1)
+            hi = np.full_like(sq, 2 * cap * cap + 1)
+            sl_lo = [slice(None)] * 3
+            sl_lo[axis] = slice(off, None)
+            sl_dst_lo = [slice(None)] * 3
+            sl_dst_lo[axis] = slice(0, prev.shape[axis] - off)
+            lo[tuple(sl_dst_lo)] = sq[tuple(sl_lo)]
+            sl_hi = [slice(None)] * 3
+            sl_hi[axis] = slice(0, prev.shape[axis] - off)
+            sl_dst_hi = [slice(None)] * 3
+            sl_dst_hi[axis] = slice(off, None)
+            hi[tuple(sl_dst_hi)] = sq[tuple(sl_hi)]
+            best = np.minimum(best, np.minimum(lo, hi) + off2)
+        return np.minimum(np.floor(np.sqrt(best)).astype(np.int32), cap)
+
+    dist_xy = minconv(dist_x, axis=1)
+    return minconv(dist_xy, axis=0).astype(np.uint8)
+
+
+def test_sdf_matches_scalar_pipeline(world64):
+    cfg, bits, fine = world64
+    coarse = np.asarray(vg.coarse_occupancy(bits, cfg))
+    got = np.asarray(sdf_mod.build_sdf(jnp.asarray(coarse), cfg)).reshape(
+        coarse.shape)
+    want = _scalar_sdf_pipeline(coarse, cfg.sdf_max_dist)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sdf_zero_on_solid_and_safe_lower_bound(world64):
+    """SDF must never overestimate: d(cell) <= true distance to the nearest
+    solid coarse cell (the sphere-trace safety property)."""
+    cfg, bits, _ = world64
+    coarse = np.asarray(vg.coarse_occupancy(bits, cfg))
+    sdf = np.asarray(sdf_mod.build_sdf(jnp.asarray(coarse), cfg)).reshape(
+        coarse.shape)
+    assert (sdf[coarse] == 0).all()
+    solid_pts = np.argwhere(coarse)
+    rng = np.random.default_rng(5)
+    for _ in range(50):
+        z, y, x = [int(rng.integers(0, s)) for s in coarse.shape]
+        true_d = np.sqrt(((solid_pts - [z, y, x]) ** 2).sum(axis=1).min())
+        assert sdf[z, y, x] <= min(cfg.sdf_max_dist, true_d) + 1e-6
+
+
+def test_sample_sdf_at_voxel_clamps(world64):
+    cfg, bits, _ = world64
+    coarse = vg.coarse_occupancy(bits, cfg)
+    sdf = sdf_mod.build_sdf(coarse, cfg)
+    sdf_np = np.asarray(sdf).reshape(cfg.sdf_size_z, cfg.sdf_size_y,
+                                     cfg.sdf_size_x)
+    # out-of-range voxel coords clamp into the grid like getDistance
+    got = np.asarray(sdf_mod.sample_sdf_at_voxel(
+        sdf, cfg, np.int32([-5, 9999]), np.int32([3, 3]), np.int32([3, 3])))
+    want = [sdf_np[1, 1, 0], sdf_np[1, 1, cfg.sdf_size_x - 1]]
+    np.testing.assert_array_equal(got, want)
