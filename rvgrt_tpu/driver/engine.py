@@ -1,0 +1,129 @@
+"""Engine: world lifecycle + per-frame stepping (the ``State`` equivalent).
+
+Replaces the reference's ``State::Create`` world build (``State.cpp:24-56``:
+allocate -> fill -> SDF -> GI init) and the render-loop orchestration
+(``main.cpp:104-234``) with a functional engine: the world is a pytree of
+device arrays, the per-frame step is a jitted function
+
+    (gi, camera arrays, frame, offset) -> (frame outputs, gi')
+
+No fences or external semaphores exist on TPU - the dataflow ordering of the
+jitted program subsumes the reference's D3D12 fence machinery (SURVEY.md
+§5.8).  "Present" is a device->host transfer of the color buffer performed
+by the caller (or the C++ frame sink, driver/framesink.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rvgrt_tpu.config import EngineConfig
+from rvgrt_tpu.gi import update as gi_update
+from rvgrt_tpu.render import pipeline
+from rvgrt_tpu.scene.camera import Camera, Character, InputState
+from rvgrt_tpu.utils.timer import Timer
+from rvgrt_tpu.world import atlas as atlas_mod
+from rvgrt_tpu.world import gi_grid, sdf as sdf_mod, voxel_grid
+
+
+@dataclass
+class World:
+    """Device-resident world state (the CArray/CoarseArray/Texturepack set)."""
+    bits: jax.Array   # (num_words,) uint32 occupancy
+    sdf: jax.Array    # (sdf_cells,) uint8 coarse SDF
+    gi: jax.Array     # (gi_cells,) uint32 packed RGBA8 radiance
+    atlas: jax.Array  # (256*256,) uint32 packed RGBA8 texture atlas
+
+
+def build_world(ecfg: EngineConfig, verbose: bool = True,
+                init_gi: bool = True) -> World:
+    """Deterministic world build (State.cpp:24-56 lifecycle, with phase
+    timers like the reference's RAII Timer prints)."""
+    cfg = ecfg.world
+    with Timer("building fine voxel grid", verbose):
+        bits = voxel_grid.generate(cfg, ecfg.terrain)
+        bits.block_until_ready()
+    with Timer("building coarse SDF", verbose):
+        coarse = voxel_grid.coarse_occupancy(bits, cfg)
+        sdf = sdf_mod.build_sdf(coarse, cfg)
+        sdf.block_until_ready()
+    atlas = atlas_mod.procedural_atlas()
+    if init_gi:
+        with Timer("initializing GI", verbose):
+            gi = gi_update.init_gi(bits, sdf, ecfg)
+            gi.block_until_ready()
+    else:
+        gi = gi_grid.zeros(cfg)
+    return World(bits=bits, sdf=sdf, gi=gi, atlas=atlas)
+
+
+def camera_arrays(cam: Camera, vp: np.ndarray | None = None,
+                  prev_vp: np.ndarray | None = None,
+                  jitter=(0.0, 0.0), time_s: float = 0.0) -> pipeline.CameraArrays:
+    eye = np.eye(4, dtype=np.float32)
+    return pipeline.CameraArrays(
+        pos=jnp.asarray(cam.pos), forward=jnp.asarray(cam.forward),
+        right=jnp.asarray(cam.right), up=jnp.asarray(cam.up),
+        vp=jnp.asarray(vp if vp is not None else eye),
+        prev_vp=jnp.asarray(prev_vp if prev_vp is not None else eye),
+        jitter=jnp.asarray(jitter, jnp.float32),
+        time=jnp.asarray(time_s, jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("ecfg", "include_gi",
+                                             "update_gi"))
+def frame_step(bits, sdf, gi, atlas, cam: pipeline.CameraArrays,
+               frame: jax.Array, gi_offset: jax.Array,
+               ecfg: EngineConfig, include_gi: bool = True,
+               update_gi: bool = True):
+    """One frame: GI progressive update + full render (renderLoop order,
+    main.cpp:119-124: GI update precedes drawCUDA)."""
+    if update_gi:
+        gi = gi_update.update_gi(gi, bits, sdf, atlas, ecfg, frame, gi_offset)
+    out = pipeline.render_frame(bits, sdf, gi, atlas, cam, ecfg,
+                                include_gi=include_gi)
+    return out, gi
+
+
+class Engine:
+    """Stateful convenience wrapper: world + character + frame loop."""
+
+    def __init__(self, ecfg: EngineConfig, include_gi: bool = True,
+                 verbose: bool = True):
+        self.ecfg = ecfg
+        self.include_gi = include_gi
+        self.world = build_world(ecfg, verbose=verbose, init_gi=include_gi)
+        self.character = Character(
+            display_width=ecfg.render.display_width,
+            display_height=ecfg.render.display_height,
+            render_width=ecfg.render.width,
+            render_height=ecfg.render.height)
+        self.frame_count = 0
+        self.gi_offset = 0
+        self.start_time = time.time()
+
+    def step(self, inputs: InputState | None = None,
+             delta_time: float = 1.0 / 60.0) -> pipeline.FrameOutputs:
+        ch = self.character
+        ch.update(inputs or InputState(), delta_time, self.frame_count)
+        cam = camera_arrays(
+            ch.camera, vp=ch.unjittered_view_projection,
+            prev_vp=ch.prev_unjittered_view_projection,
+            jitter=ch.ray_jitter_ndc(),
+            time_s=(time.time() - self.start_time) % 1e6)
+        out, gi = frame_step(
+            self.world.bits, self.world.sdf, self.world.gi, self.world.atlas,
+            cam, jnp.asarray(self.frame_count, jnp.uint32),
+            jnp.asarray(self.gi_offset, jnp.int32),
+            self.ecfg, include_gi=self.include_gi,
+            update_gi=self.include_gi)
+        self.world.gi = gi
+        self.frame_count += 1
+        self.gi_offset = gi_update.advance_offset(self.gi_offset, self.ecfg)
+        return out

@@ -1,0 +1,170 @@
+"""Progressive GI radiance-cache update.
+
+The reference's "training loop" (SURVEY.md §3.5): every frame, a round-robin
+slice of 64^3 GI cells each casts one sun-shadow ray and one random bounce
+ray through the shared tracer, and EMA-blends the new sample into the cell
+at rate 0.04 (``GlobalIlluminate``, ``CoarseArray.cu:273-355``;
+``InitialGlobalIlluminate``, lines 211-245).  The bounce ray reads the *same*
+grid at the hit cell - a self-referential fixed-point iteration that
+converges to multi-bounce GI (one bounce deeper per sweep).
+
+TPU-isms vs the reference:
+* the slice of cells is a contiguous window -> the scatter is one
+  ``dynamic_update_slice``, no atomics, no read/write races (the reference
+  tolerates an unsynchronized same-buffer race as Monte-Carlo noise -
+  SURVEY.md §5.2; our update reads the pre-frame grid snapshot);
+* the RNG is the same xorshift32 stream per cell (seeded
+  ``idx + frame * 198491317``, line 252) but vectorized, with the
+  rejection-sampled sphere direction unrolled to a fixed 8 attempts
+  (acceptance ~52%/try => < 0.6% fall through to the last candidate,
+  normalized regardless);
+* quantization (trunc to uint8, clamp at 1.0) matches lines 339-354.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rvgrt_tpu.config import EngineConfig
+from rvgrt_tpu.render import shading
+from rvgrt_tpu.trace import wavefront
+from rvgrt_tpu.world import atlas as atlas_mod
+from rvgrt_tpu.world import gi_grid, voxel_grid
+
+_F32 = jnp.float32
+_U32 = jnp.uint32
+
+
+def _xorshift(state):
+    state = state ^ (state << 13)
+    state = state ^ (state >> 17)
+    state = state ^ (state << 5)
+    return state
+
+
+def _rand01(state):
+    """xorshift32 -> float in [0,1] (CoarseArray.cu:255-262)."""
+    state = _xorshift(state)
+    return state, state.astype(_F32) * _F32(1.0 / 4294967295.0)
+
+
+def random_sphere_dirs(seed, attempts: int = 8):
+    """Rejection-sampled uniform sphere directions (CoarseArray.cu:263-271),
+    fixed-attempt vectorized: keep the first candidate with |p|^2 < 1."""
+    state = seed
+    px = jnp.zeros(seed.shape, _F32)
+    py = jnp.zeros(seed.shape, _F32)
+    pz = jnp.zeros(seed.shape, _F32)
+    done = jnp.zeros(seed.shape, jnp.bool_)
+    for _ in range(attempts):
+        state, rx = _rand01(state)
+        state, ry = _rand01(state)
+        state, rz = _rand01(state)
+        cx = rx * 2.0 - 1.0
+        cy = ry * 2.0 - 1.0
+        cz = rz * 2.0 - 1.0
+        ok = (cx * cx + cy * cy + cz * cz) < 1.0
+        take = ok & ~done
+        px = jnp.where(take, cx, px)
+        py = jnp.where(take, cy, py)
+        pz = jnp.where(take, cz, pz)
+        done = done | ok
+    # fall-through lanes: use the last candidate (normalized below)
+    px = jnp.where(done, px, cx)
+    py = jnp.where(done, py, cy)
+    pz = jnp.where(done, pz, cz)
+    inv = 1.0 / jnp.sqrt(jnp.maximum(px * px + py * py + pz * pz, 1e-12))
+    return px * inv, py * inv, pz * inv
+
+
+def init_gi(bits, sdf, ecfg: EngineConfig) -> jax.Array:
+    """One sun-shadow ray per cell: sunlit cells start at sun color
+    (InitialGlobalIlluminate, CoarseArray.cu:211-245)."""
+    cfg, lcfg = ecfg.world, ecfg.lighting
+    idx = jnp.arange(cfg.gi_num_cells, dtype=jnp.int32)
+    wx, wy, wz = gi_grid.cell_world_centers(cfg, idx)
+    sun = lcfg.sun_dir
+    res = wavefront.trace(bits, sdf, cfg, ecfg.render, wx, wy, wz,
+                          jnp.full_like(wx, sun[0]),
+                          jnp.full_like(wx, sun[1]),
+                          jnp.full_like(wx, sun[2]),
+                          jnp.full_like(wx, 0.0001))
+    lit = ~res.hit
+    r = jnp.where(lit, _F32(lcfg.sun_color[0]), 0.0)
+    g = jnp.where(lit, _F32(lcfg.sun_color[1]), 0.0)
+    b = jnp.where(lit, _F32(lcfg.sun_color[2]), 0.0)
+    return gi_grid.pack_rgba8(r, g, b)
+
+
+def update_gi(gi: jax.Array, bits, sdf, atlas, ecfg: EngineConfig,
+              frame: jax.Array, offset: jax.Array) -> jax.Array:
+    """One progressive sweep slice: update ``gi_rays_per_frame`` cells
+    starting at ``offset`` (GlobalIlluminate, CoarseArray.cu:273-355)."""
+    cfg, lcfg, rcfg = ecfg.world, ecfg.lighting, ecfg.render
+    n = min(ecfg.gi_rays_per_frame, cfg.gi_num_cells)
+    idx = offset.astype(jnp.int32) + jnp.arange(n, dtype=jnp.int32)
+    wx, wy, wz = gi_grid.cell_world_centers(cfg, idx)
+
+    # cells inside solid voxels are skipped (kept unchanged, line 296-300)
+    inside = voxel_grid.is_solid(
+        bits, cfg,
+        jnp.floor(wx).astype(jnp.int32),
+        jnp.floor(wy).astype(jnp.int32),
+        jnp.floor(wz).astype(jnp.int32))
+
+    sun = lcfg.sun_dir
+    shadow = wavefront.trace(bits, sdf, cfg, rcfg, wx, wy, wz,
+                             jnp.full_like(wx, sun[0]),
+                             jnp.full_like(wx, sun[1]),
+                             jnp.full_like(wx, sun[2]),
+                             jnp.full_like(wx, 0.001))
+    new_r = jnp.where(~shadow.hit, _F32(lcfg.sun_color[0]), 0.0)
+    new_g = jnp.where(~shadow.hit, _F32(lcfg.sun_color[1]), 0.0)
+    new_b = jnp.where(~shadow.hit, _F32(lcfg.sun_color[2]), 0.0)
+
+    # one random bounce ray; seed = idx + frame * 198491317 (line 252)
+    seed = (idx.astype(_U32)
+            + frame.astype(_U32) * _U32(198491317))
+    bdx, bdy, bdz = random_sphere_dirs(seed)
+    bounce = wavefront.trace(bits, sdf, cfg, rcfg, wx, wy, wz,
+                             bdx, bdy, bdz, jnp.full_like(wx, 0.001))
+
+    # hit: previous-radiance at hit cell x surface albedo (color bleeding)
+    br, bg, bb, _, ok = gi_grid.sample_at_world(gi, cfg, bounce.px,
+                                                bounce.py, bounce.pz)
+    alb = atlas_mod.sample_texture(atlas, bounce.uv_u, bounce.uv_v,
+                                   bounce.px, bounce.py, bounce.pz)
+    hit_contrib = (br * alb[0], bg * alb[1], bb * alb[2])
+    sky_col = shading.sample_sky((bdx, bdy, bdz), lcfg)
+    use_hit = bounce.hit & ok
+    add_r = jnp.where(use_hit, hit_contrib[0],
+                      jnp.where(bounce.hit, 0.0, sky_col[0]))
+    add_g = jnp.where(use_hit, hit_contrib[1],
+                      jnp.where(bounce.hit, 0.0, sky_col[1]))
+    add_b = jnp.where(use_hit, hit_contrib[2],
+                      jnp.where(bounce.hit, 0.0, sky_col[2]))
+    new_r = new_r + add_r
+    new_g = new_g + add_g
+    new_b = new_b + add_b
+
+    # EMA blend into the previous quantized value (lines 339-354)
+    prev_words = jax.lax.dynamic_slice(gi, (offset.astype(jnp.int32),), (n,))
+    pr, pg, pb, _ = gi_grid.unpack_rgba8(prev_words)
+    lr = _F32(lcfg.gi_learning_rate)
+    fr = pr + (new_r - pr) * lr
+    fg = pg + (new_g - pg) * lr
+    fb = pb + (new_b - pb) * lr
+    packed = gi_grid.pack_rgba8(fr, fg, fb)
+    packed = jnp.where(inside, prev_words, packed)
+    return jax.lax.dynamic_update_slice(gi, packed,
+                                        (offset.astype(jnp.int32),))
+
+
+def advance_offset(offset: int, ecfg: EngineConfig) -> int:
+    """Round-robin window walk, wrapping at the grid size
+    (CoarseArray.cu:392-394)."""
+    n = min(ecfg.gi_rays_per_frame, ecfg.world.gi_num_cells)
+    if offset + n >= ecfg.world.gi_num_cells:
+        return 0
+    return offset + n
