@@ -1,0 +1,6 @@
+#!/bin/sh
+# Build the native runtime pieces (C++ -> shared libs loaded via ctypes).
+set -e
+cd "$(dirname "$0")"
+g++ -O2 -std=c++17 -shared -fPIC -o libframesink.so framesink.cpp -lz -lpthread
+echo "built native/libframesink.so"

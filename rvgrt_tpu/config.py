@@ -98,7 +98,7 @@ class WorldConfig:
         return self.gi_size_x * self.gi_size_y * self.gi_size_z
 
     def validate(self) -> None:
-        assert self.size_x % (32 * self.sdf_coarseness) == 0
+        assert self.size_x % 32 == 0 and 32 % self.sdf_coarseness == 0
         assert self.size_y % self.sdf_coarseness == 0
         assert self.size_z % self.sdf_coarseness == 0
         assert self.size_x % self.gi_coarseness == 0

@@ -1,0 +1,106 @@
+"""Headless driver: camera-path flythrough -> PNG frames + stats.
+
+Replaces the reference's Win32 window / render thread / swap chain
+(``main.cpp:104-234``) with a replayable runner: build the world, fly a
+deterministic camera path, push frames to the native sink, print frame-time
+stats (the title-bar FrameTimeAverager equivalent).
+
+    python -m rvgrt_tpu.driver.cli --config stage1 --frames 8 --out /tmp/fly
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+import numpy as np
+
+from rvgrt_tpu import config as cfg_mod
+from rvgrt_tpu.config import EngineConfig
+from rvgrt_tpu.driver.engine import Engine
+from rvgrt_tpu.driver.framesink import FrameSink
+from rvgrt_tpu.scene.camera import InputState
+from rvgrt_tpu.utils.timer import FrameTimeAverager
+from rvgrt_tpu.world import voxel_grid as vg
+
+CONFIGS = {
+    "stage1": cfg_mod.config_stage1,
+    "stage2": cfg_mod.config_stage2,
+    "stage3": cfg_mod.config_stage3,
+    "stage4": cfg_mod.config_stage4,
+    "stage5": cfg_mod.config_stage5,
+    "reference": cfg_mod.config_reference,
+}
+
+
+def tiny_config() -> EngineConfig:
+    import dataclasses
+
+    from rvgrt_tpu.config import RenderConfig, WorldConfig
+
+    return EngineConfig(world=WorldConfig().with_cube(6),
+                        render=dataclasses.replace(
+                            RenderConfig(), width=160, height=96))
+
+
+def spawn_above_terrain(eng: Engine, x: int | None = None,
+                        z: int | None = None, clearance: float = 8.0):
+    """Place the character in air above the terrain column at (x, z)."""
+    cfg = eng.ecfg.world
+    x = cfg.size_x // 2 if x is None else x
+    z = cfg.size_z // 2 if z is None else z
+    bits_np = np.asarray(eng.world.bits).reshape(
+        cfg.size_z, cfg.size_y, cfg.size_x // 32)
+    col = np.asarray(vg.unpack_bits_x(bits_np[z]))[:, x]  # (Y,) bools
+    solid_ys = np.where(col)[0]
+    top = float(solid_ys.max()) if len(solid_ys) else 30.0
+    y = min(top + clearance, cfg.size_y - 2.0)
+    eng.character.position = np.array([x, y, z], np.float32)
+    eng.character.pitch = -math.pi - 0.5
+    eng.character.yaw = 0.8
+    return eng.character.position
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="tiny",
+                   choices=list(CONFIGS) + ["tiny"])
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--out", default=None, help="frame output directory")
+    p.add_argument("--no-gi", action="store_true")
+    p.add_argument("--fly", action="store_true",
+                   help="move forward + turn during the path")
+    args = p.parse_args(argv)
+
+    ecfg = tiny_config() if args.config == "tiny" else CONFIGS[args.config]()
+    t0 = time.time()
+    eng = Engine(ecfg, include_gi=not args.no_gi)
+    print(f"world ready in {time.time() - t0:.1f}s", file=sys.stderr)
+    spawn = spawn_above_terrain(eng)
+    print(f"spawn at {spawn}", file=sys.stderr)
+
+    sink = FrameSink(args.out) if args.out else None
+    avg = FrameTimeAverager()
+    for i in range(args.frames):
+        inputs = InputState(move_z=1.0 if args.fly else 0.0,
+                            mouse_dx=2.0 if args.fly else 0.0)
+        out = eng.step(inputs)
+        img = np.asarray(out.color)
+        ms = avg.tick()
+        if sink is not None:
+            sink.push((img * 255).astype(np.uint8), i)
+        print(f"frame {i}: {ms:.1f} ms avg, hit "
+              f"{float((np.asarray(out.depth) < 1).mean()):.2f}",
+              file=sys.stderr)
+    if sink is not None:
+        sink.flush()
+        print(f"wrote {sink.written} frames to {args.out} "
+              f"(dropped {sink.dropped})", file=sys.stderr)
+    print(f"avg frame time {avg.average_ms:.1f} ms ({avg.fps:.1f} FPS)",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""Multi-chip scaling: pixel/ray data parallelism over a device mesh.
+
+The reference is single-GPU (SURVEY.md §2.3); this module adds the device
+axis the TPU way (§5.7/§5.8): a 1-D ``Mesh`` over a ``rays`` axis, the world
+(bits / SDF / GI / atlas) replicated in every chip's HBM, and the frame's
+pixel rows sharded - each device renders its own row slab with
+``render_slab`` (recomputing a one-row half-res halo instead of exchanging
+boundaries).  The only collectives are the implicit all-gather when the
+caller assembles the image and an ``all_gather`` of GI window shards in the
+distributed GI update.  Camera constants are replicated by closure - the
+TPU-native replacement for ``cudaMemcpyToSymbol`` uniforms.
+
+Phase 2/3 (volume sharding with ray-handoff rings over ICI for worlds beyond
+one chip's HBM) layers on top of the same slab decomposition.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from rvgrt_tpu.config import EngineConfig
+from rvgrt_tpu.gi import update as gi_update
+from rvgrt_tpu.render import pipeline
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(devs, (axis,))
+
+
+def render_frame_sharded(bits, sdf, gi, atlas, cam: pipeline.CameraArrays,
+                         ecfg: EngineConfig, mesh: Mesh,
+                         include_gi: bool = True) -> pipeline.FrameOutputs:
+    """Render with pixel rows sharded across the mesh's ``rays`` axis.
+
+    Returns FrameOutputs whose leading (row) axis is sharded; callers can
+    ``jax.device_get`` to assemble (per-host shard fetch = the "present").
+    """
+    n = mesh.shape["rays"]
+    h = ecfg.render.height
+    assert h % (2 * n) == 0, (h, n)
+    slab_h = h // n
+
+    def shard_fn(bits, sdf, gi, atlas, cam):
+        idx = jax.lax.axis_index("rays")
+        y0 = (idx * slab_h).astype(jnp.int32)
+        return pipeline.render_slab(bits, sdf, gi, atlas, cam, ecfg,
+                                    y0=y0, slab_h=slab_h,
+                                    include_gi=include_gi)
+
+    rep = P()
+    out_specs = pipeline.FrameOutputs(
+        color=P("rays"), motion=P("rays"), depth=P("rays"),
+        half_dist=P("rays"), half_shadow=P("rays"))
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(rep, rep, rep, rep,
+                             pipeline.CameraArrays(*([rep] * 8))),
+                   out_specs=out_specs)
+    return fn(bits, sdf, gi, atlas, cam)
+
+
+def update_gi_sharded(gi, bits, sdf, atlas, ecfg: EngineConfig, frame,
+                      offset, mesh: Mesh):
+    """Distributed progressive GI: each device updates a sub-window of the
+    round-robin cell slice, then the shards are all-gathered and written
+    back with one dynamic_update_slice (replicated grid)."""
+    n_dev = mesh.shape["rays"]
+    n = min(ecfg.gi_rays_per_frame, ecfg.world.gi_num_cells)
+    assert n % n_dev == 0
+    per_dev = n // n_dev
+
+    import dataclasses
+    sub_ecfg = dataclasses.replace(ecfg, gi_rays_per_frame=per_dev)
+
+    def shard_fn(gi, bits, sdf, atlas, frame, offset):
+        idx = jax.lax.axis_index("rays")
+        my_off = offset + idx.astype(jnp.int32) * per_dev
+        # compute this device's updated window slice
+        updated = gi_update.update_gi(gi, bits, sdf, atlas, sub_ecfg,
+                                      frame, my_off)
+        window = jax.lax.dynamic_slice(updated, (my_off,), (per_dev,))
+        return window
+
+    rep = P()
+    windows = shard_map(shard_fn, mesh=mesh,
+                        in_specs=(rep, rep, rep, rep, rep, rep),
+                        out_specs=P("rays"))(gi, bits, sdf, atlas, frame,
+                                             offset)
+    # windows: (n,) sharded; write the full window back into the grid
+    return jax.lax.dynamic_update_slice(gi, windows, (offset,))
+
+
+def replicate(mesh: Mesh, *arrays):
+    """Place arrays replicated on every device of the mesh."""
+    sh = NamedSharding(mesh, P())
+    return tuple(jax.device_put(a, sh) for a in arrays)

@@ -63,16 +63,21 @@ class CameraArrays(NamedTuple):
 
 
 def _ray_dirs(cam: CameraArrays, width: int, height: int,
-              pixel_center: bool):
+              pixel_center: bool, y0=0, rows: int | None = None):
     """Primary ray directions: dir = normalize(fo + ndc.x*ri + ndc.y*up).
 
     ``pixel_center`` selects the reference's two conventions: the prepass
     samples at (i+0.5)/n (StateRender.cu:268-269), the main pass at i/n
-    (StateRender.cu:225-226).
+    (StateRender.cu:225-226).  ``y0``/``rows`` select a row slab of the
+    global image (for pixel-sharded rendering); row indices are clamped to
+    the image so halo rows duplicate the edge (== clamp addressing).
     """
     off = 0.5 if pixel_center else 0.0
+    rows = height if rows is None else rows
     xs = (jnp.arange(width, dtype=_F32) + off) / width
-    ys = (jnp.arange(height, dtype=_F32) + off) / height
+    iy = jnp.clip(jnp.asarray(y0, jnp.int32)
+                  + jnp.arange(rows, dtype=jnp.int32), 0, height - 1)
+    ys = (iy.astype(_F32) + off) / height
     ndc_x = xs[None, :] * 2.0 - 1.0 + cam.jitter[0]
     ndc_y = ys[:, None] * 2.0 - 1.0 + cam.jitter[1]
     fo = cam.forward
@@ -96,14 +101,18 @@ def _shadow_trace(bits, sdf, cfg, rcfg, hit, hpos, normal, sun,
     return res.hit
 
 
-def half_res_prepass(bits, sdf, cfg, rcfg, lcfg, cam: CameraArrays):
+def half_res_prepass(bits, sdf, cfg, rcfg, lcfg, cam: CameraArrays,
+                     hy0=0, hrows: int | None = None):
     """distApproximationKernel (StateRender.cu:255-286): distance - 8
-    (miss -> 300) and hard shadow factor at half render resolution."""
+    (miss -> 300) and hard shadow factor at half render resolution.
+    ``hy0``/``hrows`` select a half-res row slab (edge-clamped)."""
     hw, hh = rcfg.half_width, rcfg.half_height
-    dx, dy, dz = _ray_dirs(cam, hw, hh, pixel_center=True)
+    hrows = hh if hrows is None else hrows
+    dx, dy, dz = _ray_dirs(cam, hw, hh, pixel_center=True, y0=hy0,
+                           rows=hrows)
     res = wavefront.trace(bits, sdf, cfg, rcfg,
                           cam.pos[0], cam.pos[1], cam.pos[2],
-                          dx, dy, dz, jnp.zeros((hh, hw), _F32))
+                          dx, dy, dz, jnp.zeros((hrows, hw), _F32))
     d = jnp.sqrt((res.px - cam.pos[0]) ** 2 + (res.py - cam.pos[1]) ** 2
                  + (res.pz - cam.pos[2]) ** 2)
     dist = jnp.where(res.hit, d, _F32(rcfg.miss_distance))
@@ -147,18 +156,51 @@ def bilinear_upsample2(img: jnp.ndarray) -> jnp.ndarray:
     return axis_up(axis_up(img, 0), 1)
 
 
-def render_frame(bits, sdf, gi, atlas, cam: CameraArrays,
-                 ecfg: EngineConfig, include_gi: bool = True) -> FrameOutputs:
-    cfg, rcfg, lcfg = ecfg.world, ecfg.render, ecfg.lighting
-    w, h = rcfg.width, rcfg.height
+def _min_dist_upsample_slab(half_halo: jnp.ndarray, slab_h: int):
+    """minDist over a half-res slab with a 1-row halo on each side
+    (rows hy0 = y0//2 - 1 .. (y0+slab_h)//2 + 1, edge-clamped)."""
+    pad = jnp.pad(half_halo, ((0, 0), (0, 1)), mode="edge")
+    m = jnp.minimum(jnp.minimum(pad[:-1, :-1], pad[:-1, 1:]),
+                    jnp.minimum(pad[1:, :-1], pad[1:, 1:]))
+    return jnp.repeat(jnp.repeat(m[1:1 + slab_h // 2], 2, axis=0), 2, axis=1)
 
-    # ---- 1+2: half-res prepass and conservative upsamples ----
-    half_dist, half_shadow = half_res_prepass(bits, sdf, cfg, rcfg, lcfg, cam)
-    start_dist = min_dist_upsample(half_dist)
-    shadow_full = bilinear_upsample2(half_shadow)
+
+def _bilinear_upsample_slab(half_halo: jnp.ndarray, slab_h: int):
+    """Bilinear 2x upsample of a half-res slab with halo rows."""
+    a = half_halo
+    prevx = jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
+    evenx = 0.5 * (prevx + a)
+    ax = jnp.stack([evenx, a], axis=2).reshape(a.shape[0], a.shape[1] * 2)
+    h = slab_h // 2
+    avg = 0.5 * (ax[0:h] + ax[1:h + 1])
+    cpy = ax[1:h + 1]
+    return jnp.stack([avg, cpy], axis=1).reshape(slab_h, ax.shape[1])
+
+
+def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
+                ecfg: EngineConfig, y0, slab_h: int,
+                include_gi: bool = True) -> FrameOutputs:
+    """Render rows [y0, y0 + slab_h) of the frame.
+
+    The unit of pixel-parallel work: a full frame is one slab; a sharded
+    frame is one slab per device (parallel/sharding.py), each recomputing a
+    1-row half-res halo instead of exchanging boundaries - cheaper than a
+    collective for a 2x-downsampled prepass.  ``y0`` must be even.
+    """
+    cfg, rcfg, lcfg = ecfg.world, ecfg.render, ecfg.lighting
+    w, h = rcfg.width, slab_h
+
+    # ---- 1+2: half-res prepass (with halo) and conservative upsamples ----
+    hy0 = jnp.asarray(y0, jnp.int32) // 2 - 1
+    hrows = slab_h // 2 + 2
+    half_dist, half_shadow = half_res_prepass(bits, sdf, cfg, rcfg, lcfg,
+                                              cam, hy0=hy0, hrows=hrows)
+    start_dist = _min_dist_upsample_slab(half_dist, slab_h)
+    shadow_full = _bilinear_upsample_slab(half_shadow, slab_h)
 
     # ---- 3: full-res primary ----
-    dx, dy, dz = _ray_dirs(cam, w, h, pixel_center=False)
+    dx, dy, dz = _ray_dirs(cam, w, rcfg.height, pixel_center=False,
+                           y0=y0, rows=slab_h)
     res = wavefront.trace(bits, sdf, cfg, rcfg,
                           cam.pos[0], cam.pos[1], cam.pos[2],
                           dx, dy, dz, start_dist)
@@ -233,4 +275,12 @@ def render_frame(bits, sdf, gi, atlas, cam: CameraArrays,
     color_img = jnp.clip(jnp.stack(color, axis=-1), 0.0, 1.0)
     motion = jnp.stack([mv_x, -mv_y], axis=-1)
     return FrameOutputs(color=color_img, motion=motion, depth=depth,
-                        half_dist=half_dist, half_shadow=half_shadow)
+                        half_dist=half_dist[1:-1], half_shadow=half_shadow[1:-1])
+
+
+def render_frame(bits, sdf, gi, atlas, cam: CameraArrays,
+                 ecfg: EngineConfig, include_gi: bool = True) -> FrameOutputs:
+    """Full frame = one slab covering every row."""
+    return render_slab(bits, sdf, gi, atlas, cam, ecfg,
+                       y0=jnp.int32(0), slab_h=ecfg.render.height,
+                       include_gi=include_gi)

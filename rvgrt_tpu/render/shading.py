@@ -77,9 +77,9 @@ def trace_cone(px, py, pz, dx, dy, dz, gi, sdf, cfg: WorldConfig,
                                           cone_w * 0.5), cur)
         return acc_r, acc_g, acc_b, acc_a, cur
 
-    init = (jnp.zeros(shape, _F32), jnp.zeros(shape, _F32),
-            jnp.zeros(shape, _F32), jnp.zeros(shape, _F32),
-            jnp.full(shape, lcfg.gi_step_size * 2.0, _F32))
+    # varying-typed zeros (see wavefront.trace) for shard_map compatibility
+    zf = px * _F32(0.0) + dx * _F32(0.0)
+    init = (zf, zf, zf, zf, zf + _F32(lcfg.gi_step_size * 2.0))
     acc_r, acc_g, acc_b, _, _ = jax.lax.fori_loop(0, steps, body, init)
     return acc_r, acc_g, acc_b
 
@@ -129,8 +129,7 @@ def gather_gi(hit_pos, normal, gi, sdf, cfg: WorldConfig,
                              d[0], d[1], d[2], gi, sdf, cfg, lcfg)
         return (acc[0] + r, acc[1] + g, acc[2] + b), None
 
-    zero = jnp.zeros(jnp.broadcast_shapes(jnp.shape(hit_pos[0]),
-                                          jnp.shape(normal[0])), _F32)
+    zero = hit_pos[0] * _F32(0.0) + normal[0] * _F32(0.0)
     (tr, tg, tb), _ = jax.lax.scan(step, (zero, zero, zero), ds)
     inv = _F32(1.0 / lcfg.num_cones)
     return tr * inv, tg * inv, tb * inv

@@ -98,25 +98,27 @@ def trace(bits: jax.Array, sdf: jax.Array, cfg: WorldConfig,
 
     size_x, size_y, size_z = cfg.size_x, cfg.size_y, cfg.size_z
 
+    # Zeros derived from ALL ray inputs so the while-loop carry has a
+    # consistent varying-axis type under shard_map (any device-varying
+    # input - origins, dirs, or start distances - propagates its vma type).
+    zf = (ox + oy + oz + dx + dy + dz + t0) * _F32(0.0)
+    zi = zf.astype(_I32)
     state = dict(
         px=ox + t0 * dx, py=oy + t0 * dy, pz=oz + t0 * dz,
-        ix=jnp.zeros(shape, _I32), iy=jnp.zeros(shape, _I32),
-        iz=jnp.zeros(shape, _I32),
-        tmx=jnp.zeros(shape, _F32), tmy=jnp.zeros(shape, _F32),
-        tmz=jnp.zeros(shape, _F32),
-        phase=jnp.full(shape, PHASE_SPHERE, _I32),
-        major=jnp.zeros(shape, _I32),
-        sphere_i=jnp.zeros(shape, _I32),
-        dda_i=jnp.zeros(shape, _I32),
-        mask=jnp.full(shape, MASK_NONE, _I32),
-        its=jnp.ones(shape, _I32),  # major-loop entry counts one (line 107)
-        hit=jnp.zeros(shape, jnp.bool_),
-        hpx=jnp.full(shape, MISS_POS, _F32),
-        hpy=jnp.full(shape, MISS_POS, _F32),
-        hpz=jnp.full(shape, MISS_POS, _F32),
-        nx=jnp.zeros(shape, _F32), ny=jnp.zeros(shape, _F32),
-        nz=jnp.zeros(shape, _F32),
-        uvu=jnp.zeros(shape, _F32), uvv=jnp.zeros(shape, _F32),
+        ix=zi, iy=zi, iz=zi,
+        tmx=zf, tmy=zf, tmz=zf,
+        phase=zi + PHASE_SPHERE,
+        major=zi,
+        sphere_i=zi,
+        dda_i=zi,
+        mask=zi + MASK_NONE,
+        its=zi + 1,  # major-loop entry counts one (line 107)
+        hit=zi != 0,
+        hpx=zf + MISS_POS,
+        hpy=zf + MISS_POS,
+        hpz=zf + MISS_POS,
+        nx=zf, ny=zf, nz=zf,
+        uvu=zf, uvv=zf,
         step_count=jnp.zeros((), _I32),
     )
 

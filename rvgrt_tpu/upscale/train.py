@@ -1,0 +1,130 @@
+"""Self-supervised upscaler training.
+
+Training data is free: render the same deterministic camera path at low and
+at 3x resolution with the same engine (SURVEY.md §7.8) - the high-res render
+is ground truth.  Loss = L1 + gradient L1 (edge preservation), optimizer
+adam via optax.  The training step is jitted and MXU-friendly (bf16 convs,
+f32 loss).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Iterator, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rvgrt_tpu.upscale import model as up_model
+
+_F32 = jnp.float32
+
+
+class Sample(NamedTuple):
+    color: jnp.ndarray    # (h, w, 3) low-res
+    motion: jnp.ndarray   # (h, w, 2)
+    depth: jnp.ndarray    # (h, w)
+    jitter: jnp.ndarray   # (2,)
+    history: jnp.ndarray  # (3h, 3w, 3) previous high-res output (or zeros)
+    target: jnp.ndarray   # (3h, 3w, 3) high-res ground truth
+
+
+def _grad_l1(a, b):
+    dxa = a[:, 1:] - a[:, :-1]
+    dxb = b[:, 1:] - b[:, :-1]
+    dya = a[1:] - a[:-1]
+    dyb = b[1:] - b[:-1]
+    return jnp.mean(jnp.abs(dxa - dxb)) + jnp.mean(jnp.abs(dya - dyb))
+
+
+def loss_fn(params, net: up_model.UpscalerNet, s: Sample):
+    warped = up_model.warp_history(s.history, s.motion)
+    out, _ = net.apply(params, s.color, s.motion, s.depth, s.jitter, warped)
+    l1 = jnp.mean(jnp.abs(out - s.target))
+    return l1 + 0.5 * _grad_l1(out, s.target)
+
+
+@functools.partial(jax.jit, static_argnames=("net", "opt"))
+def train_step(params, opt_state, net, opt, s: Sample):
+    loss, grads = jax.value_and_grad(loss_fn)(params, net, s)
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+def make_optimizer(lr: float = 1e-3):
+    return optax.adam(lr)
+
+
+def render_pair_dataset(ecfg, n_frames: int, low_w: int, low_h: int,
+                        include_gi: bool = False) -> Iterator[Sample]:
+    """Render (low-res inputs, 3x high-res target) pairs along a
+    deterministic flythrough of the configured world."""
+    from rvgrt_tpu.driver.cli import spawn_above_terrain
+    from rvgrt_tpu.driver.engine import Engine
+    from rvgrt_tpu.scene.camera import InputState
+
+    lo_cfg = dataclasses.replace(ecfg, render=dataclasses.replace(
+        ecfg.render, width=low_w, height=low_h))
+    hi_cfg = dataclasses.replace(ecfg, render=dataclasses.replace(
+        ecfg.render, width=low_w * up_model.SCALE,
+        height=low_h * up_model.SCALE))
+
+    lo = Engine(lo_cfg, include_gi=include_gi, verbose=False)
+    hi = Engine(hi_cfg, include_gi=include_gi, verbose=False)
+    hi.world = lo.world  # share the device-resident world
+    spawn = spawn_above_terrain(lo)
+    hi.character.position = spawn.copy()
+    hi.character.pitch = lo.character.pitch
+    hi.character.yaw = lo.character.yaw
+
+    history = jnp.zeros((low_h * up_model.SCALE, low_w * up_model.SCALE, 3),
+                        _F32)
+    for i in range(n_frames):
+        inputs = InputState(move_z=1.0, mouse_dx=1.0)
+        out_lo = lo.step(inputs, 1 / 60)
+        out_hi = hi.step(inputs, 1 / 60)
+        jit = jnp.asarray(lo.character.ray_jitter_ndc(), _F32)
+        yield Sample(color=out_lo.color, motion=out_lo.motion,
+                     depth=out_lo.depth, jitter=jit, history=history,
+                     target=out_hi.color)
+        history = out_hi.color
+
+
+def train(ecfg, steps: int = 200, low_w: int = 128, low_h: int = 96,
+          lr: float = 1e-3, seed: int = 0, verbose: bool = True):
+    """Train on freshly rendered pairs; returns (net, params, losses)."""
+    net, params = up_model.init_params(jax.random.PRNGKey(seed), low_h,
+                                       low_w)
+    opt = make_optimizer(lr)
+    opt_state = opt.init(params)
+    losses = []
+    data = []
+    n_frames = min(steps, 32)
+    for s in render_pair_dataset(ecfg, n_frames, low_w, low_h):
+        data.append(s)
+    for i in range(steps):
+        s = data[i % len(data)]
+        params, opt_state, loss = train_step(params, opt_state, net, opt, s)
+        losses.append(float(loss))
+        if verbose and i % 20 == 0:
+            print(f"step {i}: loss {losses[-1]:.4f}")
+    return net, params, losses
+
+
+def save_params(params, path: str):
+    import pickle
+
+    flat = jax.device_get(params)
+    with open(path, "wb") as f:
+        pickle.dump(flat, f)
+
+
+def load_params(path: str):
+    import pickle
+
+    with open(path, "rb") as f:
+        return pickle.load(f)
