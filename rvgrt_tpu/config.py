@@ -194,9 +194,18 @@ class RenderConfig:
     sphere_stop_dist: float = 1.0
     jump_min_dist: int = 2
 
-    # wavefront tracer: hard cap on supersteps (worst case in the reference is
-    # 5 * (100 + 200); real rays converge in tens of steps)
-    max_supersteps: int = 1536
+    # supersteps per convergence check in the wavefront loop
+    steps_per_check: int = 8
+
+    # row tiles per trace call (lax.map): converged tiles retire early
+    # instead of every ray paying for the globally slowest one
+    trace_row_tiles: int = 8
+    trace_col_tiles: int = 4
+
+    # wavefront tracer: hard cap on supersteps (worst case in the reference
+    # is 5 * (100 + 200 * 9/8) with probe supersteps; real rays converge in
+    # tens of steps)
+    max_supersteps: int = 2048
 
     miss_distance: float = 300.0  # distApproximationKernel miss (StateRender.cu:276)
     dist_bias: float = 8.0        # conservative bias (StateRender.cu:284)

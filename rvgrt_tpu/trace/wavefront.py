@@ -4,27 +4,33 @@ This is the TPU restructuring of the reference's branchy per-thread
 ``trace()`` megakernel (``raytracing_functions.cu:85-202``): instead of one
 divergent loop per ray, the whole ray buffer advances in lockstep
 *supersteps*.  Every ray carries a phase (SPHERE / DDA / DONE); one superstep
-performs exactly one masked state transition per live ray:
+performs exactly one masked state transition per live ray.
 
-* SPHERE lanes step ``pos += dir * sdf[pos]`` until the SDF says they are
-  within one cell of a surface (``approximateCSDF``, lines 65-83);
-* DDA lanes advance one voxel along the dominant tMax axis (branchless axis
-  select like lines 172-192), probing the SDF every 8th step and long-jumping
-  ``dist * COARSENESSSDF`` when open space re-appears (lines 127-141),
-  restarting the major loop (max 5 majors, line 105);
-* DONE lanes idle (masked out).
+TPU-shaped design decisions (driven by profiling on v5e):
 
-All lanes share ONE SDF gather and ONE occupancy-bit gather per superstep -
-the only non-elementwise ops - so the loop body is two HBM gathers plus VPU
-arithmetic over the SoA ray state.  The loop runs under ``lax.while_loop``
-until every lane is DONE (or the hard superstep cap).
+* **One HBM gather per superstep.**  Random gathers are the whole cost of
+  this workload on TPU (~7.5 ns/element in-kernel, measured); everything
+  else in a superstep is ~1 ns/lane of VPU work.  The occupancy words and
+  the coarse SDF live in ONE combined uint32 table (bits words, then SDF
+  packed 4 cells/word) so every lane - sphere-stepping, DDA-stepping, or
+  SDF-probing - issues exactly one gather.  The reference's every-8th-step
+  SDF re-probe (lines 127-141) becomes its own superstep (a lane probes,
+  *then* resumes DDA next superstep) instead of a second gather.
+* **Slim carry.**  The while-loop state is 11 arrays (44 B/lane): positions,
+  voxel coords, tMax, a packed flags word (phase | mask | major | sphere_i |
+  dda_i | probed), and the ``its`` counter.  The hit payload (position,
+  normal, UV) is reconstructed after the loop from the final state - it
+  never rides through the loop.
+* **Row tiles.**  ``lax.map`` over row tiles bounds divergence: a tile's
+  superstep loop exits when *its* rays converge, instead of every ray
+  paying for the globally slowest one.
 
-Semantics deliberately preserved from the reference (golden-tested against a
-scalar model): iteration budgets 5 x (100 sphere + 200 DDA), the ``its``
-counter, tMax/uv/normal construction, the ``distance`` parameter's fp16
-quantization, OOB => miss with pos sentinel.  One deliberate fix (SURVEY.md
-appendix B): a hit on the very first DDA cell (reference ``mask == -128``,
-uninitialized normal) returns a defined payload: normal = 0, pos = entry
+Semantics are preserved from the reference and golden-tested against a
+scalar model: iteration budgets 5 x (100 sphere + 200 DDA), the exact
+``its`` counter, tMax/uv/normal construction, fp16 quantization of the
+``distance`` parameter, OOB => miss.  One deliberate fix (SURVEY.md appendix
+B): a hit on the very first DDA cell (reference ``mask == -128``,
+uninitialized payload) returns a defined payload: normal = 0, pos = entry
 point, uv = 0.
 """
 
@@ -36,27 +42,49 @@ import jax
 import jax.numpy as jnp
 
 from rvgrt_tpu.config import RenderConfig, WorldConfig
-from rvgrt_tpu.world import voxel_grid, sdf as sdf_mod
 
 _F32 = jnp.float32
 _I32 = jnp.int32
+_U32 = jnp.uint32
 
 PHASE_SPHERE = 0
 PHASE_DDA = 1
-PHASE_DONE = 2
+PHASE_MISS = 2
+PHASE_HIT = 3
 
-MASK_NONE = -128  # no DDA step taken yet
+MASK_X = 0
+MASK_Y = 1
+MASK_Z = 2
+MASK_NONE = 3  # no DDA step taken yet (reference mask == -128)
+
 MISS_POS = -500.0
 OOB_POS = -100.0
+
+# flags word layout (LSB first)
+_PH_SH, _PH_W = 0, 2        # phase
+_MK_SH, _MK_W = 2, 2        # mask
+_MJ_SH, _MJ_W = 4, 3        # major iteration
+_SP_SH, _SP_W = 7, 7        # sphere step counter
+_DD_SH, _DD_W = 14, 8       # DDA step counter
+_PR_SH = 22                 # probed flag
+
+
+def _get(flags, sh, w):
+    return (flags >> sh) & ((1 << w) - 1)
+
+
+def _set(flags, sh, w, val):
+    mask = ((1 << w) - 1) << sh
+    return (flags & ~mask) | ((val << sh) & mask)
 
 
 class TraceResult(NamedTuple):
     hit: jax.Array   # bool
-    px: jax.Array    # hit position (f32)
+    px: jax.Array    # hit position (f32); (-500,...) on miss
     py: jax.Array
     pz: jax.Array
-    nx: jax.Array    # face normal (f32, one of +-1 on one axis; 0 for
-    ny: jax.Array    # first-cell hits)
+    nx: jax.Array    # face normal (+-1 on one axis; 0 for first-cell hits)
+    ny: jax.Array
     nz: jax.Array
     uv_u: jax.Array  # in-face UV
     uv_v: jax.Array
@@ -64,29 +92,101 @@ class TraceResult(NamedTuple):
     t: jax.Array     # ray parameter of the hit (f32; 0 on miss)
 
 
+def make_trace_table(bits: jax.Array, sdf: jax.Array,
+                     cfg: WorldConfig) -> jax.Array:
+    """Combined gather table: [occupancy words | SDF packed 4 cells/word].
+
+    Built once per world (or CSE'd inside a jitted frame); lets every tracer
+    superstep be a single uint32 gather regardless of lane phase.
+    """
+    s = sdf.reshape(-1, 4).astype(_U32)
+    packed = s[:, 0] | (s[:, 1] << 8) | (s[:, 2] << 16) | (s[:, 3] << 24)
+    return jnp.concatenate([bits, packed])
+
+
+def _sdf_word_index(cfg: WorldConfig, bits_len: int, vx, vy, vz):
+    """Combined-table index + byte position for an SDF lookup at fine-voxel
+    coords (the getDistance clamp semantics, raytracing_functions.cuh:35-67)."""
+    c = cfg.sdf_coarseness
+    cx = jnp.clip(vx // c, 0, cfg.sdf_size_x - 1)
+    cy = jnp.clip(vy // c, 0, cfg.sdf_size_y - 1)
+    cz = jnp.clip(vz // c, 0, cfg.sdf_size_z - 1)
+    cidx = cz * (cfg.sdf_size_x * cfg.sdf_size_y) + cy * cfg.sdf_size_x + cx
+    return bits_len + (cidx >> 2), (cidx & 3) << 3
+
+
+def _bits_word_index(cfg: WorldConfig, vx, vy, vz):
+    """Combined-table index + bit position for an occupancy lookup
+    (IsSolid/toIndex wrap semantics, cumath.cuh:33-45)."""
+    x = vx & (cfg.size_x - 1)
+    y = vy & (cfg.size_y - 1)
+    z = vz & (cfg.size_z - 1)
+    wi = ((x >> 5)
+          | (y << (cfg.shift_x - 5))
+          | (z << (cfg.shift_x + cfg.shift_y - 5)))
+    return wi, x & 31
+
+
 def trace(bits: jax.Array, sdf: jax.Array, cfg: WorldConfig,
           rcfg: RenderConfig,
           ox, oy, oz, dx, dy, dz, t_start,
-          quantize_start_fp16: bool = True) -> TraceResult:
+          quantize_start_fp16: bool = True,
+          table: jax.Array | None = None,
+          row_tiles: int | None = None) -> TraceResult:
     """Trace rays (any common broadcast shape) through the world.
 
     ``t_start`` mirrors the reference's ``half distance`` parameter: the
     march origin is ``origin + t_start * dir`` (raytracing_functions.cu:90),
     quantized through fp16 like the implicit CUDA float->half conversion.
     """
+    if table is None:
+        table = make_trace_table(bits, sdf, cfg)
+
     shape = jnp.broadcast_shapes(
         jnp.shape(ox), jnp.shape(oy), jnp.shape(oz),
         jnp.shape(dx), jnp.shape(dy), jnp.shape(dz), jnp.shape(t_start))
 
-    ox = jnp.broadcast_to(jnp.asarray(ox, _F32), shape)
-    oy = jnp.broadcast_to(jnp.asarray(oy, _F32), shape)
-    oz = jnp.broadcast_to(jnp.asarray(oz, _F32), shape)
-    dx = jnp.broadcast_to(jnp.asarray(dx, _F32), shape)
-    dy = jnp.broadcast_to(jnp.asarray(dy, _F32), shape)
-    dz = jnp.broadcast_to(jnp.asarray(dz, _F32), shape)
-    t0 = jnp.broadcast_to(jnp.asarray(t_start, _F32), shape)
+    args = tuple(jnp.broadcast_to(jnp.asarray(a, _F32), shape)
+                 for a in (ox, oy, oz, dx, dy, dz, t_start))
+
+    ty = rcfg.trace_row_tiles if row_tiles is None else row_tiles
+    tx = getattr(rcfg, "trace_col_tiles", 1)
+    if len(shape) == 2:
+        h, w = shape
+        if h % max(ty, 1) or h // max(ty, 1) < 8:
+            ty = 1
+        if w % max(tx, 1) or w // max(tx, 1) < 128:
+            tx = 1
+    else:
+        ty = tx = 1
+    if ty * tx > 1:
+        h, w = shape
+        th, tw = h // ty, w // tx
+        # (h, w) -> (ty*tx, th, tw) spatial blocks: rays in a block are
+        # spatially coherent, so whole blocks converge (and retire) together
+        tiled = tuple(
+            a.reshape(ty, th, tx, tw).transpose(0, 2, 1, 3)
+            .reshape(ty * tx, th, tw) for a in args)
+        res = jax.lax.map(
+            lambda t: _trace_impl(table, cfg, rcfg, *t,
+                                  quantize_start_fp16=quantize_start_fp16),
+            tiled)
+        out = tuple(
+            r.reshape(ty, tx, th, tw).transpose(0, 2, 1, 3).reshape(h, w)
+            for r in res)
+        return TraceResult(*out)
+    return _trace_impl(table, cfg, rcfg, *args,
+                       quantize_start_fp16=quantize_start_fp16)
+
+
+def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
+                ox, oy, oz, dx, dy, dz, t0,
+                quantize_start_fp16: bool) -> TraceResult:
     if quantize_start_fp16:
         t0 = t0.astype(jnp.float16).astype(_F32)
+
+    bits_len = cfg.num_words
+    table_len = bits_len + cfg.sdf_num_cells // 4
 
     big = _F32(1e10)
     ddx = jnp.where(dx != 0, jnp.abs(1.0 / dx), big)
@@ -98,175 +198,141 @@ def trace(bits: jax.Array, sdf: jax.Array, cfg: WorldConfig,
 
     size_x, size_y, size_z = cfg.size_x, cfg.size_y, cfg.size_z
 
-    # Zeros derived from ALL ray inputs so the while-loop carry has a
-    # consistent varying-axis type under shard_map (any device-varying
-    # input - origins, dirs, or start distances - propagates its vma type).
+    # varying-typed zeros (shard_map-safe carry init)
     zf = (ox + oy + oz + dx + dy + dz + t0) * _F32(0.0)
     zi = zf.astype(_I32)
+
     state = dict(
         px=ox + t0 * dx, py=oy + t0 * dy, pz=oz + t0 * dz,
         ix=zi, iy=zi, iz=zi,
         tmx=zf, tmy=zf, tmz=zf,
-        phase=zi + PHASE_SPHERE,
-        major=zi,
-        sphere_i=zi,
-        dda_i=zi,
-        mask=zi + MASK_NONE,
+        flags=_set(zi, _MK_SH, _MK_W, MASK_NONE),  # phase=SPHERE, rest 0
         its=zi + 1,  # major-loop entry counts one (line 107)
-        hit=zi != 0,
-        hpx=zf + MISS_POS,
-        hpy=zf + MISS_POS,
-        hpz=zf + MISS_POS,
-        nx=zf, ny=zf, nz=zf,
-        uvu=zf, uvv=zf,
-        step_count=jnp.zeros((), _I32),
+        step=jnp.zeros((), _I32),
     )
 
-    def enter_dda(s, lanes):
-        """Transition ``lanes`` from SPHERE to DDA: floor pos, init tMax."""
+    def enter_dda(s, lanes, flags):
+        """SPHERE -> DDA for ``lanes``: floor pos, init tMax (lines 114-120)."""
         fx = jnp.floor(s["px"])
         fy = jnp.floor(s["py"])
         fz = jnp.floor(s["pz"])
-        nix, niy, niz = fx.astype(_I32), fy.astype(_I32), fz.astype(_I32)
-        # tMax to first boundary per axis (lines 116-120)
         ntmx = jnp.where(stx > 0, fx + 1.0 - s["px"], s["px"] - fx) * ddx
         ntmy = jnp.where(sty > 0, fy + 1.0 - s["py"], s["py"] - fy) * ddy
         ntmz = jnp.where(stz > 0, fz + 1.0 - s["pz"], s["pz"] - fz) * ddz
-        out = dict(s)
-        out["ix"] = jnp.where(lanes, nix, s["ix"])
-        out["iy"] = jnp.where(lanes, niy, s["iy"])
-        out["iz"] = jnp.where(lanes, niz, s["iz"])
-        out["tmx"] = jnp.where(lanes, ntmx, s["tmx"])
-        out["tmy"] = jnp.where(lanes, ntmy, s["tmy"])
-        out["tmz"] = jnp.where(lanes, ntmz, s["tmz"])
-        out["mask"] = jnp.where(lanes, MASK_NONE, s["mask"])
-        out["dda_i"] = jnp.where(lanes, 0, s["dda_i"])
-        out["phase"] = jnp.where(lanes, PHASE_DDA, s["phase"])
-        return out
+        s["ix"] = jnp.where(lanes, fx.astype(_I32), s["ix"])
+        s["iy"] = jnp.where(lanes, fy.astype(_I32), s["iy"])
+        s["iz"] = jnp.where(lanes, fz.astype(_I32), s["iz"])
+        s["tmx"] = jnp.where(lanes, ntmx, s["tmx"])
+        s["tmy"] = jnp.where(lanes, ntmy, s["tmy"])
+        s["tmz"] = jnp.where(lanes, ntmz, s["tmz"])
+        nf = _set(flags, _PH_SH, _PH_W, PHASE_DDA)
+        nf = _set(nf, _MK_SH, _MK_W, MASK_NONE)
+        nf = _set(nf, _DD_SH, _DD_W, 0)
+        nf = nf & ~(1 << _PR_SH)
+        return jnp.where(lanes, nf, flags)
+
+    probe_mask = rcfg.sdf_probe_interval - 1  # power of two
 
     def body(s):
-        in_sphere = s["phase"] == PHASE_SPHERE
-        in_dda = s["phase"] == PHASE_DDA
+        flags = s["flags"]
+        phase = _get(flags, _PH_SH, _PH_W)
+        dda_i = _get(flags, _DD_SH, _DD_W)
+        probed = (flags >> _PR_SH) & 1
 
-        # ---------- shared SDF gather ----------
-        # SPHERE lanes query at floor(pos) (float overload, cuh:35-51);
-        # DDA lanes at ipos (int overload, cuh:52-67).  Same clamped
-        # coarse-cell lookup -> one gather for everyone.
-        qx = jnp.where(in_sphere, jnp.floor(s["px"]).astype(_I32), s["ix"])
-        qy = jnp.where(in_sphere, jnp.floor(s["py"]).astype(_I32), s["iy"])
-        qz = jnp.where(in_sphere, jnp.floor(s["pz"]).astype(_I32), s["iz"])
-        dist = sdf_mod.sample_sdf_at_voxel(sdf, cfg, qx, qy, qz)
+        in_sphere = phase == PHASE_SPHERE
+        in_dda = phase == PHASE_DDA
+        # probe superstep: reference's (i & 7) == 7 SDF re-check (line 127)
+        probe_turn = in_dda & ((dda_i & probe_mask) == probe_mask) \
+            & (probed == 0)
+        action_turn = in_dda & ~probe_turn
 
-        # ---------- shared occupancy gather (DDA lanes) ----------
-        solid = voxel_grid.is_solid(bits, cfg, s["ix"], s["iy"], s["iz"])
+        # ---------- THE gather (one per superstep) ----------
+        sph_or_probe = in_sphere | probe_turn
+        qvx = jnp.where(in_sphere, jnp.floor(s["px"]).astype(_I32), s["ix"])
+        qvy = jnp.where(in_sphere, jnp.floor(s["py"]).astype(_I32), s["iy"])
+        qvz = jnp.where(in_sphere, jnp.floor(s["pz"]).astype(_I32), s["iz"])
+        widx_sdf, bytepos = _sdf_word_index(cfg, bits_len, qvx, qvy, qvz)
+        widx_bit, bitpos = _bits_word_index(cfg, s["ix"], s["iy"], s["iz"])
+        widx = jnp.where(sph_or_probe, widx_sdf, widx_bit)
+        widx = jnp.clip(widx, 0, table_len - 1)
+        word = jnp.take(table, widx, mode="clip")
+        dist = ((word >> bytepos.astype(_U32)) & _U32(0xFF)).astype(_I32)
+        solid = ((word >> bitpos.astype(_U32)) & _U32(1)) != 0
 
         ns = dict(s)
+        nflags = flags
 
         # ================= SPHERE phase =================
         # (approximateCSDF, lines 65-83)
-        sp_oob = (s["px"] < 0) | (s["py"] < 0) | (s["pz"] < 0) | \
-                 (s["px"] >= size_x) | (s["py"] >= size_y) | (s["pz"] >= size_z)
-        sp_oob &= in_sphere
+        sphere_i = _get(flags, _SP_SH, _SP_W)
+        sp_oob = in_sphere & (
+            (s["px"] < 0) | (s["py"] < 0) | (s["pz"] < 0)
+            | (s["px"] >= size_x) | (s["py"] >= size_y) | (s["pz"] >= size_z))
         sp_converged = in_sphere & ~sp_oob & (dist <= 1)
-        sp_exhaust = in_sphere & ~sp_oob & ~sp_converged & (s["sphere_i"] >= rcfg.max_sphere_steps - 1)
         sp_march = in_sphere & ~sp_oob & ~sp_converged
+        sp_exhaust = sp_march & (sphere_i >= rcfg.max_sphere_steps - 1)
 
         distf = dist.astype(_F32)
         ns["px"] = jnp.where(sp_march, s["px"] + dx * distf, s["px"])
         ns["py"] = jnp.where(sp_march, s["py"] + dy * distf, s["py"])
         ns["pz"] = jnp.where(sp_march, s["pz"] + dz * distf, s["pz"])
-        ns["sphere_i"] = jnp.where(sp_march, s["sphere_i"] + 1, s["sphere_i"])
-        # OOB -> sentinel pos (-100): next DDA iteration misses (line 71)
+        nflags = jnp.where(sp_march,
+                           _set(nflags, _SP_SH, _SP_W, sphere_i + 1), nflags)
         ns["px"] = jnp.where(sp_oob, OOB_POS, ns["px"])
         ns["py"] = jnp.where(sp_oob, OOB_POS, ns["py"])
         ns["pz"] = jnp.where(sp_oob, OOB_POS, ns["pz"])
         to_dda = sp_oob | sp_converged | sp_exhaust
-        ns = enter_dda(ns, to_dda)
+        nflags = enter_dda(ns, to_dda, nflags)
 
-        # ================= DDA phase =================
-        probe_turn = in_dda & ((s["dda_i"] & (rcfg.sdf_probe_interval - 1))
-                               == rcfg.sdf_probe_interval - 1)
-        ns["its"] = jnp.where(in_dda, s["its"] + 1, ns["its"])
-
-        # (a) SDF long jump (lines 127-141)
+        # ================= DDA probe superstep =================
+        # (lines 127-141); no reference-iteration advance unless jumping
         do_jump = probe_turn & (dist > rcfg.jump_min_dist)
+        no_jump = probe_turn & ~do_jump
         cx = s["ix"].astype(_F32) + 0.5
         cy = s["iy"].astype(_F32) + 0.5
         cz = s["iz"].astype(_F32) + 0.5
-        t_proj = (cx - s["px"]) * dx + (cy - s["py"]) * dy + (cz - s["pz"]) * dz
+        t_proj = (cx - s["px"]) * dx + (cy - s["py"]) * dy \
+            + (cz - s["pz"]) * dz
         jump_len = t_proj + dist.astype(_F32) * cfg.sdf_coarseness
-        jpx = s["px"] + jump_len * dx
-        jpy = s["py"] + jump_len * dy
-        jpz = s["pz"] + jump_len * dz
-        new_major = s["major"] + 1
+        major = _get(flags, _MJ_SH, _MJ_W)
+        new_major = major + 1
         jump_miss = do_jump & (new_major >= rcfg.max_major_iterations)
         jump_resphere = do_jump & ~jump_miss
-        ns["px"] = jnp.where(do_jump, jpx, ns["px"])
-        ns["py"] = jnp.where(do_jump, jpy, ns["py"])
-        ns["pz"] = jnp.where(do_jump, jpz, ns["pz"])
-        ns["major"] = jnp.where(do_jump, new_major, ns["major"])
-        ns["sphere_i"] = jnp.where(jump_resphere, 0, ns["sphere_i"])
-        ns["phase"] = jnp.where(jump_resphere, PHASE_SPHERE, ns["phase"])
-        # major-loop re-entry counts one its (line 107)
-        ns["its"] = jnp.where(jump_resphere, ns["its"] + 1, ns["its"])
-        ns["phase"] = jnp.where(jump_miss, PHASE_DONE, ns["phase"])
+        ns["px"] = jnp.where(do_jump, s["px"] + jump_len * dx, ns["px"])
+        ns["py"] = jnp.where(do_jump, s["py"] + jump_len * dy, ns["py"])
+        ns["pz"] = jnp.where(do_jump, s["pz"] + jump_len * dz, ns["pz"])
+        nflags = jnp.where(do_jump, _set(nflags, _MJ_SH, _MJ_W, new_major),
+                           nflags)
+        nflags = jnp.where(jump_resphere,
+                           _set(_set(nflags, _PH_SH, _PH_W, PHASE_SPHERE),
+                                _SP_SH, _SP_W, 0), nflags)
+        nflags = jnp.where(jump_miss,
+                           _set(nflags, _PH_SH, _PH_W, PHASE_MISS), nflags)
+        # its: +1 for the DDA iteration that jumped (line 124), +1 more for
+        # the major-loop re-entry (line 107)
+        ns["its"] = jnp.where(jump_miss, s["its"] + 1, s["its"])
+        ns["its"] = jnp.where(jump_resphere, s["its"] + 2, ns["its"])
+        nflags = jnp.where(no_jump, nflags | (1 << _PR_SH), nflags)
 
-        live = in_dda & ~do_jump
+        # ================= DDA action superstep =================
+        ns["its"] = jnp.where(action_turn, ns["its"] + 1, ns["its"])
 
-        # (b) bounds check (lines 144-147)
-        dda_oob = live & ((s["ix"] < 0) | (s["iy"] < 0) | (s["iz"] < 0)
-                          | (s["ix"] >= size_x) | (s["iy"] >= size_y)
-                          | (s["iz"] >= size_z))
-        ns["phase"] = jnp.where(dda_oob, PHASE_DONE, ns["phase"])
-        live &= ~dda_oob
+        # bounds check (lines 144-147)
+        dda_oob = action_turn & (
+            (s["ix"] < 0) | (s["iy"] < 0) | (s["iz"] < 0)
+            | (s["ix"] >= size_x) | (s["iy"] >= size_y)
+            | (s["iz"] >= size_z))
+        nflags = jnp.where(dda_oob, _set(nflags, _PH_SH, _PH_W, PHASE_MISS),
+                           nflags)
+        live = action_turn & ~dda_oob
 
-        # (c) solid hit (lines 149-168)
+        # solid hit (lines 149-168): freeze state; payload comes post-loop
         do_hit = live & solid
-        stxf = stx.astype(_F32)
-        styf = sty.astype(_F32)
-        stzf = stz.astype(_F32)
-        m = s["mask"]
-        t_hit = jnp.where(
-            m == 0, s["tmx"] - ddx,
-            jnp.where(m == 1, s["tmy"] - ddy,
-                      jnp.where(m == 2, s["tmz"] - ddz, _F32(0.0))))
-        hx = s["px"] + t_hit * dx
-        hy = s["py"] + t_hit * dy
-        hz = s["pz"] + t_hit * dz
-        # first-cell hit (mask -128): defined payload = entry pos, zero normal
-        first_cell = m == MASK_NONE
-        hx = jnp.where(first_cell, s["px"], hx)
-        hy = jnp.where(first_cell, s["py"], hy)
-        hz = jnp.where(first_cell, s["pz"], hz)
-        nnx = jnp.where(m == 0, -stxf, 0.0)
-        nny = jnp.where(m == 1, -styf, 0.0)
-        nnz = jnp.where(m == 2, -stzf, 0.0)
-        fx_ = s["ix"].astype(_F32)
-        fy_ = s["iy"].astype(_F32)
-        fz_ = s["iz"].astype(_F32)
-        # per-face UV with orientation flips (lines 156-166)
-        uvu = jnp.where(m == 0, hy - fy_,
-                        jnp.where(m == 1, hx - fx_,
-                                  jnp.where(m == 2, hx - fx_, 0.0)))
-        uvv_x = jnp.where(stx == -1, 1.0 - (hz - fz_), hz - fz_)
-        uvu_z = jnp.where(stz == 1, 1.0 - uvu, uvu)
-        uvu = jnp.where(m == 2, uvu_z, uvu)
-        uvv = jnp.where(m == 0, uvv_x,
-                        jnp.where(m == 1, hz - fz_,
-                                  jnp.where(m == 2, hy - fy_, 0.0)))
-        ns["hit"] = jnp.where(do_hit, True, ns["hit"])
-        ns["hpx"] = jnp.where(do_hit, hx, ns["hpx"])
-        ns["hpy"] = jnp.where(do_hit, hy, ns["hpy"])
-        ns["hpz"] = jnp.where(do_hit, hz, ns["hpz"])
-        ns["nx"] = jnp.where(do_hit, nnx, ns["nx"])
-        ns["ny"] = jnp.where(do_hit, nny, ns["ny"])
-        ns["nz"] = jnp.where(do_hit, nnz, ns["nz"])
-        ns["uvu"] = jnp.where(do_hit, uvu, ns["uvu"])
-        ns["uvv"] = jnp.where(do_hit, uvv, ns["uvv"])
-        ns["phase"] = jnp.where(do_hit, PHASE_DONE, ns["phase"])
+        nflags = jnp.where(do_hit, _set(nflags, _PH_SH, _PH_W, PHASE_HIT),
+                           nflags)
         live &= ~do_hit
 
-        # (d) branchless DDA step (lines 172-192)
+        # branchless axis step (lines 172-192)
         step_x = live & (s["tmx"] < s["tmy"]) & (s["tmx"] < s["tmz"])
         step_y = live & ~step_x & (s["tmy"] < s["tmz"])
         step_z = live & ~step_x & ~step_y
@@ -276,30 +342,77 @@ def trace(bits: jax.Array, sdf: jax.Array, cfg: WorldConfig,
         ns["ix"] = jnp.where(step_x, s["ix"] + stx, ns["ix"])
         ns["iy"] = jnp.where(step_y, s["iy"] + sty, ns["iy"])
         ns["iz"] = jnp.where(step_z, s["iz"] + stz, ns["iz"])
-        ns["mask"] = jnp.where(step_x, 0,
-                               jnp.where(step_y, 1,
-                                         jnp.where(step_z, 2, ns["mask"])))
-        new_i = s["dda_i"] + 1
-        ns["dda_i"] = jnp.where(live, new_i, ns["dda_i"])
+        nmask = jnp.where(step_x, MASK_X,
+                          jnp.where(step_y, MASK_Y, MASK_Z))
+        nflags = jnp.where(live, _set(nflags, _MK_SH, _MK_W, nmask), nflags)
+        new_i = dda_i + 1
+        nflags = jnp.where(live,
+                           _set(nflags, _DD_SH, _DD_W, new_i)
+                           & ~(1 << _PR_SH), nflags)
         # DDA budget exhausted without a jump -> miss (loop end, line 199)
-        ns["phase"] = jnp.where(live & (new_i >= rcfg.max_dda_steps),
-                                PHASE_DONE, ns["phase"])
+        nflags = jnp.where(live & (new_i >= rcfg.max_dda_steps),
+                           _set(nflags, _PH_SH, _PH_W, PHASE_MISS), nflags)
 
-        ns["step_count"] = s["step_count"] + 1
+        ns["flags"] = nflags
+        ns["step"] = s["step"] + 1
         return ns
 
     def cond(s):
-        return (s["step_count"] < rcfg.max_supersteps) & \
-               jnp.any(s["phase"] != PHASE_DONE)
+        phase = _get(s["flags"], _PH_SH, _PH_W)
+        return (s["step"] < rcfg.max_supersteps) & \
+               jnp.any(phase < PHASE_MISS)
 
-    final = jax.lax.while_loop(cond, body, state)
+    k = rcfg.steps_per_check
 
+    def outer_body(s):
+        s, _ = jax.lax.scan(lambda c, _: (body(c), None), s, None, length=k)
+        return s
+
+    final = jax.lax.while_loop(cond, outer_body, state)
+
+    # ---------------- post-loop hit payload ----------------
+    flags = final["flags"]
+    phase = _get(flags, _PH_SH, _PH_W)
+    m = _get(flags, _MK_SH, _MK_W)
+    hit = phase == PHASE_HIT
+    stxf = stx.astype(_F32)
+    styf = sty.astype(_F32)
+    stzf = stz.astype(_F32)
     t_hit = jnp.where(
-        final["hit"],
-        (final["hpx"] - ox) * dx + (final["hpy"] - oy) * dy
-        + (final["hpz"] - oz) * dz,
+        m == MASK_X, final["tmx"] - ddx,
+        jnp.where(m == MASK_Y, final["tmy"] - ddy,
+                  jnp.where(m == MASK_Z, final["tmz"] - ddz, _F32(0.0))))
+    hx = final["px"] + t_hit * dx
+    hy = final["py"] + t_hit * dy
+    hz = final["pz"] + t_hit * dz
+    first_cell = m == MASK_NONE
+    hx = jnp.where(first_cell, final["px"], hx)
+    hy = jnp.where(first_cell, final["py"], hy)
+    hz = jnp.where(first_cell, final["pz"], hz)
+    nx = jnp.where(hit & (m == MASK_X), -stxf, 0.0)
+    ny = jnp.where(hit & (m == MASK_Y), -styf, 0.0)
+    nz = jnp.where(hit & (m == MASK_Z), -stzf, 0.0)
+    fx_ = final["ix"].astype(_F32)
+    fy_ = final["iy"].astype(_F32)
+    fz_ = final["iz"].astype(_F32)
+    # per-face UV with orientation flips (lines 156-166)
+    uvu = jnp.where(m == MASK_X, hy - fy_, hx - fx_)
+    uvu_z = jnp.where(stz == 1, 1.0 - uvu, uvu)
+    uvu = jnp.where(m == MASK_Z, uvu_z, uvu)
+    uvu = jnp.where(first_cell, 0.0, uvu)
+    uvv_x = jnp.where(stx == -1, 1.0 - (hz - fz_), hz - fz_)
+    uvv = jnp.where(m == MASK_X, uvv_x,
+                    jnp.where(m == MASK_Y, hz - fz_,
+                              jnp.where(m == MASK_Z, hy - fy_, 0.0)))
+    out_px = jnp.where(hit, hx, _F32(MISS_POS))
+    out_py = jnp.where(hit, hy, _F32(MISS_POS))
+    out_pz = jnp.where(hit, hz, _F32(MISS_POS))
+    t_out = jnp.where(
+        hit,
+        (out_px - ox) * dx + (out_py - oy) * dy + (out_pz - oz) * dz,
         _F32(0.0))
     return TraceResult(
-        hit=final["hit"], px=final["hpx"], py=final["hpy"], pz=final["hpz"],
-        nx=final["nx"], ny=final["ny"], nz=final["nz"],
-        uv_u=final["uvu"], uv_v=final["uvv"], its=final["its"], t=t_hit)
+        hit=hit, px=out_px, py=out_py, pz=out_pz,
+        nx=nx, ny=ny, nz=nz,
+        uv_u=jnp.where(hit, uvu, 0.0), uv_v=jnp.where(hit, uvv, 0.0),
+        its=final["its"], t=t_out)

@@ -126,7 +126,9 @@ def sample_atlas(atlas: jax.Array, u, v):
     """
     up = (jnp.asarray(u, _F32) * ATLAS_SIZE).astype(_I32) & (ATLAS_SIZE - 1)
     vp = (jnp.asarray(v, _F32) * ATLAS_SIZE).astype(_I32) & (ATLAS_SIZE - 1)
-    words = jnp.take(atlas, up * ATLAS_SIZE + vp, mode="clip")
+    # constant-bound clamp right before the gather -> fast TPU gather path
+    idx = jnp.clip(up * ATLAS_SIZE + vp, 0, ATLAS_SIZE * ATLAS_SIZE - 1)
+    words = jnp.take(atlas, idx, mode="clip")
     r, g, b, _ = unpack_rgba8(words)
     return r, g, b
 

@@ -69,6 +69,8 @@ def sample_at_world(gi: jax.Array, cfg: WorldConfig, wx, wy, wz):
     idx = cell_index(cfg, jnp.clip(gx, 0, cfg.gi_size_x - 1),
                      jnp.clip(gy, 0, cfg.gi_size_y - 1),
                      jnp.clip(gz, 0, cfg.gi_size_z - 1))
+    # constant-bound clamp right before the gather -> fast TPU gather path
+    idx = jnp.clip(idx, 0, cfg.gi_num_cells - 1)
     words = jnp.take(gi, idx, mode="clip")
     r, g, b, a = unpack_rgba8(words)
     return r, g, b, a, ok

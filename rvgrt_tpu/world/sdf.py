@@ -83,18 +83,30 @@ def _minconv_pass(prev_dist: jax.Array, axis: int, cap: int) -> jax.Array:
     return jnp.minimum(dist, _I32(cap))
 
 
-def build_sdf(coarse_solid: jax.Array, cfg: WorldConfig) -> jax.Array:
+def build_sdf(coarse_solid: jax.Array, cfg: WorldConfig,
+              use_pallas: bool | None = None) -> jax.Array:
     """(SZ, SY, SX) bool coarse occupancy -> (SZ*SY*SX,) flat uint8 SDF.
 
     Pipeline mirror of ``CoarseArray::GenerateSDF`` (``CoarseArray.cu:
     173-208``): X scan -> XY min-conv -> XYZ min-conv, uint8 truncation
-    between passes.
+    between passes.  On TPU the min-conv passes run as a Pallas VMEM kernel
+    (ops/sdf_kernels.py) - identical results, far cheaper compile and one
+    HBM round-trip per pass; the jnp fallback serves CPU tests.
     """
     cap = cfg.sdf_max_dist
+    if use_pallas is None:
+        # needs a TPU backend and >= one full 128-lane row per block
+        use_pallas = (jax.default_backend() not in ("cpu",)
+                      and cfg.sdf_size_x >= 128)
     # axis order in the array is (z, y, x)
     dist_x = _axis_distance_1d(coarse_solid, axis=2, cap=cap)
-    dist_xy = _minconv_pass(dist_x, axis=1, cap=cap)
-    dist_xyz = _minconv_pass(dist_xy, axis=0, cap=cap)
+    if use_pallas:
+        from rvgrt_tpu.ops.sdf_kernels import minconv_pass_pallas
+        dist_xy = minconv_pass_pallas(dist_x, axis=1, cap=cap)
+        dist_xyz = minconv_pass_pallas(dist_xy, axis=0, cap=cap)
+    else:
+        dist_xy = _minconv_pass(dist_x, axis=1, cap=cap)
+        dist_xyz = _minconv_pass(dist_xy, axis=0, cap=cap)
     return dist_xyz.astype(jnp.uint8).reshape(-1)
 
 
@@ -111,4 +123,8 @@ def sample_sdf_at_voxel(sdf: jax.Array, cfg: WorldConfig, vx, vy, vz):
     cz = jnp.clip(jnp.asarray(vz, _I32) // c, 0, cfg.sdf_size_z - 1)
     cidx = (cz * (cfg.sdf_size_x * cfg.sdf_size_y)
             + cy * cfg.sdf_size_x + cx)
+    # Final clamp with constant bounds right before the gather: lets XLA
+    # prove indices in-bounds (AssumeGatherIndicesInBound) and use the fast
+    # TPU gather - ~100x faster than the bounds-checked fallback.
+    cidx = jnp.clip(cidx, 0, cfg.sdf_num_cells - 1)
     return jnp.take(sdf, cidx, mode="clip").astype(_I32)

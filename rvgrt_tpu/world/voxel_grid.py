@@ -91,6 +91,9 @@ def is_solid(bits: jax.Array, cfg: WorldConfig, x, y, z):
     y = jnp.asarray(y, _I32) & (cfg.size_y - 1)
     z = jnp.asarray(z, _I32) & (cfg.size_z - 1)
     wi, bit = word_index(cfg, x, y, z)
+    # constant-bound clamp right before the gather -> fast TPU gather path
+    # (XLA inserts AssumeGatherIndicesInBound); see world/sdf.py
+    wi = jnp.clip(wi, 0, cfg.num_words - 1)
     words = jnp.take(bits, wi, mode="clip")
     return ((words >> bit) & _U32(1)).astype(jnp.bool_)
 
