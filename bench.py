@@ -36,7 +36,6 @@ def main():
     from rvgrt_tpu.config import EngineConfig, RenderConfig, WorldConfig
     from rvgrt_tpu.driver import engine as eng_mod
     from rvgrt_tpu.render import pipeline
-    from rvgrt_tpu.scene.camera import orbit_path
 
     cube = int(os.environ.get("BENCH_CUBE", "10"))
     width = int(os.environ.get("BENCH_W", "1920"))
@@ -57,13 +56,37 @@ def main():
     world = eng_mod.build_world(ecfg, verbose=True, init_gi=include_gi)
     log(f"world build total: {time.time() - t0:.1f}s")
 
+    # camera: above the terrain column at world center, panning in place
+    # (a degenerate camera - inside rock or all-sky - benchmarks nothing)
+    import math as _math
+
+    from rvgrt_tpu.scene.camera import Camera
+    from rvgrt_tpu.world import voxel_grid as vg
+
     size = ecfg.world.size_x
-    cams = orbit_path(n_frames + 2,
-                      center=np.array([size / 2, 0, size / 2], np.float32),
-                      radius=size * 0.25,
-                      height=min(ecfg.world.size_y * 0.8, 500.0),
-                      look_target=np.array([size / 2, 100.0, size / 2],
-                                           np.float32))
+    cx, cz = size // 2, size // 2
+    bits_np = np.asarray(world.bits).reshape(
+        ecfg.world.size_z, ecfg.world.size_y, ecfg.world.size_x // 32)
+    col = np.asarray(vg.unpack_bits_x(bits_np[cz]))[:, cx]
+    solid_ys = np.where(col)[0]
+    top = float(solid_ys.max()) if len(solid_ys) else 30.0
+    cam_y = min(top + 12.0, ecfg.world.size_y - 2.0)
+    log(f"terrain top at center: {top}, camera y: {cam_y}")
+
+    def pan_cam(i):
+        ang = 0.35 * i
+        fwd = np.array([_math.cos(ang) * 0.87, -0.5, _math.sin(ang) * 0.87],
+                       np.float32)
+        fwd /= np.linalg.norm(fwd)
+        wup = np.array([0, 1, 0], np.float32)
+        right = np.cross(fwd, wup)
+        right /= np.linalg.norm(right)
+        up = np.cross(fwd, right)
+        return Camera(pos=np.array([cx, cam_y, cz], np.float32),
+                      forward=fwd, right=right.astype(np.float32),
+                      up=(up / np.linalg.norm(up)).astype(np.float32))
+
+    cams = [pan_cam(i) for i in range(n_frames + 2)]
 
     render = jax.jit(lambda b, s, g, a, cam: pipeline.render_frame(
         b, s, g, a, cam, ecfg, include_gi=include_gi))
@@ -72,22 +95,28 @@ def main():
         cam = eng_mod.camera_arrays(cam_obj, jitter=(0.0, 0.0))
         return render(world.bits, world.sdf, world.gi, world.atlas, cam)
 
+    def sync(out):
+        # force a real device->host readback: block_until_ready alone can
+        # return early through the remote-device tunnel
+        return float(jnp.sum(out.depth))
+
     # warmup / compile
     t0 = time.time()
     out = frame(cams[0])
-    out.color.block_until_ready()
+    sync(out)
     log(f"compile+first frame: {time.time() - t0:.1f}s")
     out = frame(cams[1])
-    out.color.block_until_ready()
+    sync(out)
 
-    hit_frac = float(jnp.mean((out.depth < 1.0).astype(jnp.float32)))
-    its_mean = None
+    # bench camera uses identity VP matrices, so depth = hit.pos.z for hits
+    # and exactly 1.0 for misses
+    hit_frac = float(jnp.mean((out.depth != 1.0).astype(jnp.float32)))
     log(f"warm frame ok; hit_frac={hit_frac:.3f}")
 
     t0 = time.time()
     for i in range(n_frames):
         out = frame(cams[2 + i])
-        out.color.block_until_ready()
+        sync(out)
     dt = time.time() - t0
     fps = n_frames / dt
 

@@ -103,6 +103,7 @@ def update_gi(gi: jax.Array, bits, sdf, atlas, ecfg: EngineConfig,
     starting at ``offset`` (GlobalIlluminate, CoarseArray.cu:273-355)."""
     cfg, lcfg, rcfg = ecfg.world, ecfg.lighting, ecfg.render
     n = min(ecfg.gi_rays_per_frame, cfg.gi_num_cells)
+    table = wavefront.make_trace_table(bits, sdf, cfg)
     idx = offset.astype(jnp.int32) + jnp.arange(n, dtype=jnp.int32)
     wx, wy, wz = gi_grid.cell_world_centers(cfg, idx)
 
@@ -118,7 +119,7 @@ def update_gi(gi: jax.Array, bits, sdf, atlas, ecfg: EngineConfig,
                              jnp.full_like(wx, sun[0]),
                              jnp.full_like(wx, sun[1]),
                              jnp.full_like(wx, sun[2]),
-                             jnp.full_like(wx, 0.001))
+                             jnp.full_like(wx, 0.001), table=table)
     new_r = jnp.where(~shadow.hit, _F32(lcfg.sun_color[0]), 0.0)
     new_g = jnp.where(~shadow.hit, _F32(lcfg.sun_color[1]), 0.0)
     new_b = jnp.where(~shadow.hit, _F32(lcfg.sun_color[2]), 0.0)
@@ -128,7 +129,8 @@ def update_gi(gi: jax.Array, bits, sdf, atlas, ecfg: EngineConfig,
             + frame.astype(_U32) * _U32(198491317))
     bdx, bdy, bdz = random_sphere_dirs(seed)
     bounce = wavefront.trace(bits, sdf, cfg, rcfg, wx, wy, wz,
-                             bdx, bdy, bdz, jnp.full_like(wx, 0.001))
+                             bdx, bdy, bdz, jnp.full_like(wx, 0.001),
+                             table=table)
 
     # hit: previous-radiance at hit cell x surface albedo (color bleeding)
     br, bg, bb, _, ok = gi_grid.sample_at_world(gi, cfg, bounce.px,

@@ -91,18 +91,19 @@ def _ray_dirs(cam: CameraArrays, width: int, height: int,
 
 
 def _shadow_trace(bits, sdf, cfg, rcfg, hit, hpos, normal, sun,
-                  offset: float):
+                  offset: float, table=None):
     """Sun-shadow ray from hit + normal*offset; misses parked OOB."""
     ox = jnp.where(hit, hpos[0] + normal[0] * offset, _F32(-10.0))
     oy = jnp.where(hit, hpos[1] + normal[1] * offset, _F32(-10.0))
     oz = jnp.where(hit, hpos[2] + normal[2] * offset, _F32(-10.0))
     res = wavefront.trace(bits, sdf, cfg, rcfg, ox, oy, oz,
-                          sun[0], sun[1], sun[2], jnp.zeros_like(ox))
+                          sun[0], sun[1], sun[2], jnp.zeros_like(ox),
+                          table=table)
     return res.hit
 
 
 def half_res_prepass(bits, sdf, cfg, rcfg, lcfg, cam: CameraArrays,
-                     hy0=0, hrows: int | None = None):
+                     hy0=0, hrows: int | None = None, table=None):
     """distApproximationKernel (StateRender.cu:255-286): distance - 8
     (miss -> 300) and hard shadow factor at half render resolution.
     ``hy0``/``hrows`` select a half-res row slab (edge-clamped)."""
@@ -112,7 +113,8 @@ def half_res_prepass(bits, sdf, cfg, rcfg, lcfg, cam: CameraArrays,
                            rows=hrows)
     res = wavefront.trace(bits, sdf, cfg, rcfg,
                           cam.pos[0], cam.pos[1], cam.pos[2],
-                          dx, dy, dz, jnp.zeros((hrows, hw), _F32))
+                          dx, dy, dz, jnp.zeros((hrows, hw), _F32),
+                          table=table)
     d = jnp.sqrt((res.px - cam.pos[0]) ** 2 + (res.py - cam.pos[1]) ** 2
                  + (res.pz - cam.pos[2]) ** 2)
     dist = jnp.where(res.hit, d, _F32(rcfg.miss_distance))
@@ -120,7 +122,8 @@ def half_res_prepass(bits, sdf, cfg, rcfg, lcfg, cam: CameraArrays,
     sun = vm.splat(lcfg.sun_dir, res.hit.shape)
     shadow_hit = _shadow_trace(bits, sdf, cfg, rcfg, res.hit,
                                (res.px, res.py, res.pz),
-                               (res.nx, res.ny, res.nz), sun, offset=1e-1)
+                               (res.nx, res.ny, res.nz), sun, offset=1e-1,
+                               table=table)
     shadow = jnp.where(res.hit & shadow_hit, _F32(lcfg.shadow_factor),
                        _F32(1.0))
     return dist - _F32(rcfg.dist_bias), shadow
@@ -190,11 +193,16 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
     cfg, rcfg, lcfg = ecfg.world, ecfg.render, ecfg.lighting
     w, h = rcfg.width, slab_h
 
+    # the combined tracer gather table is built ONCE per frame (it is a
+    # ~260 MB materialization at 1024^3 scale; per-call rebuilds blow HBM)
+    table = wavefront.make_trace_table(bits, sdf, cfg)
+
     # ---- 1+2: half-res prepass (with halo) and conservative upsamples ----
     hy0 = jnp.asarray(y0, jnp.int32) // 2 - 1
     hrows = slab_h // 2 + 2
     half_dist, half_shadow = half_res_prepass(bits, sdf, cfg, rcfg, lcfg,
-                                              cam, hy0=hy0, hrows=hrows)
+                                              cam, hy0=hy0, hrows=hrows,
+                                              table=table)
     start_dist = _min_dist_upsample_slab(half_dist, slab_h)
     shadow_full = _bilinear_upsample_slab(half_shadow, slab_h)
 
@@ -203,7 +211,7 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
                            y0=y0, rows=slab_h)
     res = wavefront.trace(bits, sdf, cfg, rcfg,
                           cam.pos[0], cam.pos[1], cam.pos[2],
-                          dx, dy, dz, start_dist)
+                          dx, dy, dz, start_dist, table=table)
     hit = res.hit
     hpos = (res.px, res.py, res.pz)
     normal = (res.nx, res.ny, res.nz)
@@ -219,13 +227,13 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
     roz = jnp.where(is_water, res.pz, _F32(-10.0))
     refl = wavefront.trace(bits, sdf, cfg, rcfg, rox, roy, roz,
                            refl_dir[0], refl_dir[1], refl_dir[2],
-                           jnp.full(hit.shape, 0.001, _F32))
+                           jnp.full(hit.shape, 0.001, _F32), table=table)
     refl_albedo = vm.v3(*atlas_mod.sample_texture(
         atlas, refl.uv_u, refl.uv_v, refl.px, refl.py, refl.pz))
     refl_shadow_hit = _shadow_trace(
         bits, sdf, cfg, rcfg, is_water & refl.hit,
         (refl.px, refl.py, refl.pz), (refl.nx, refl.ny, refl.nz), sun,
-        offset=1e-3)
+        offset=1e-3, table=table)
     refl_solid_col = vm.where(refl_shadow_hit,
                               vm.scale(refl_albedo, 0.1), refl_albedo)
     refl_col = vm.where(refl.hit, refl_solid_col,

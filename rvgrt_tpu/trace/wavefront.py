@@ -99,8 +99,10 @@ def make_trace_table(bits: jax.Array, sdf: jax.Array,
     Built once per world (or CSE'd inside a jitted frame); lets every tracer
     superstep be a single uint32 gather regardless of lane phase.
     """
-    s = sdf.reshape(-1, 4).astype(_U32)
-    packed = s[:, 0] | (s[:, 1] << 8) | (s[:, 2] << 16) | (s[:, 3] << 24)
+    # strided 1-D slices, NOT reshape(-1, 4): a (N, 4) array pads its
+    # trailing dim to 128 lanes on TPU (16 GB of padding at 1024^3 scale)
+    s = sdf.astype(_U32)
+    packed = (s[0::4] | (s[1::4] << 8) | (s[2::4] << 16) | (s[3::4] << 24))
     return jnp.concatenate([bits, packed])
 
 

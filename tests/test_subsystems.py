@@ -1,0 +1,124 @@
+"""Aux subsystems: checkpoint/resume, GI update, metrics, frame sink."""
+
+import dataclasses
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rvgrt_tpu.config import EngineConfig, RenderConfig, WorldConfig
+from rvgrt_tpu.driver import checkpoint
+from rvgrt_tpu.driver.engine import Engine, World, build_world
+from rvgrt_tpu.gi import update as gi_update
+from rvgrt_tpu.utils.profiling import MetricsLog
+from rvgrt_tpu.world import gi_grid
+
+
+@pytest.fixture(scope="module")
+def small_ecfg():
+    return EngineConfig(
+        world=WorldConfig().with_cube(5),
+        render=dataclasses.replace(RenderConfig(), width=32, height=16),
+        gi_rays_per_frame=128,
+    )
+
+
+@pytest.fixture(scope="module")
+def small_world(small_ecfg):
+    return build_world(small_ecfg, verbose=False, init_gi=True)
+
+
+def test_checkpoint_roundtrip(tmp_path, small_ecfg, small_world):
+    p = str(tmp_path / "world.ckpt.npz")
+    checkpoint.save_world(p, small_world, small_ecfg, frame_count=7,
+                          gi_offset=128)
+    w2, fc, off = checkpoint.load_world(p, small_ecfg)
+    assert fc == 7 and off == 128
+    np.testing.assert_array_equal(np.asarray(small_world.bits),
+                                  np.asarray(w2.bits))
+    np.testing.assert_array_equal(np.asarray(small_world.sdf),
+                                  np.asarray(w2.sdf))
+    np.testing.assert_array_equal(np.asarray(small_world.gi),
+                                  np.asarray(w2.gi))
+
+
+def test_checkpoint_rejects_mismatched_config(tmp_path, small_ecfg,
+                                              small_world):
+    p = str(tmp_path / "w.npz")
+    checkpoint.save_world(p, small_world, small_ecfg)
+    bad = EngineConfig(world=WorldConfig().with_cube(6))
+    with pytest.raises(AssertionError):
+        checkpoint.load_world(p, bad)
+
+
+def test_world_regeneration_deterministic(small_ecfg, small_world):
+    # determinism IS the primary checkpoint (State.cpp:44-54 analogue)
+    w2 = build_world(small_ecfg, verbose=False, init_gi=False)
+    np.testing.assert_array_equal(np.asarray(small_world.bits),
+                                  np.asarray(w2.bits))
+    np.testing.assert_array_equal(np.asarray(small_world.sdf),
+                                  np.asarray(w2.sdf))
+
+
+def test_gi_update_window_and_determinism(small_ecfg, small_world):
+    w = small_world
+    gi0 = w.gi
+    gi1 = gi_update.update_gi(gi0, w.bits, w.sdf, w.atlas, small_ecfg,
+                              jnp.uint32(0), jnp.int32(0))
+    gi1b = gi_update.update_gi(gi0, w.bits, w.sdf, w.atlas, small_ecfg,
+                               jnp.uint32(0), jnp.int32(0))
+    # deterministic given (gi, frame, offset)
+    np.testing.assert_array_equal(np.asarray(gi1), np.asarray(gi1b))
+    # only the round-robin window may change
+    n = min(small_ecfg.gi_rays_per_frame, small_ecfg.world.gi_num_cells)
+    a0 = np.asarray(gi0)
+    a1 = np.asarray(gi1)
+    np.testing.assert_array_equal(a0[n:], a1[n:])
+
+
+def test_gi_offset_advances_and_wraps(small_ecfg):
+    n = min(small_ecfg.gi_rays_per_frame, small_ecfg.world.gi_num_cells)
+    off = 0
+    seen = set()
+    for _ in range(small_ecfg.world.gi_num_cells // n + 2):
+        seen.add(off)
+        off = gi_update.advance_offset(off, small_ecfg)
+    assert 0 in seen and len(seen) >= 2
+
+
+def test_random_sphere_dirs_unit_and_deterministic():
+    seeds = jnp.arange(1000, dtype=jnp.uint32)
+    dx, dy, dz = gi_update.random_sphere_dirs(seeds)
+    n = np.asarray(dx * dx + dy * dy + dz * dz)
+    np.testing.assert_allclose(n, 1.0, atol=1e-5)
+    dx2, _, _ = gi_update.random_sphere_dirs(seeds)
+    np.testing.assert_array_equal(np.asarray(dx), np.asarray(dx2))
+    # directions cover all octants
+    assert (np.asarray(dx) > 0).any() and (np.asarray(dx) < 0).any()
+    assert (np.asarray(dy) > 0).any() and (np.asarray(dy) < 0).any()
+
+
+def test_metrics_log_roundtrip(tmp_path):
+    m = MetricsLog(str(tmp_path / "metrics.jsonl"))
+    m.log(event="frame", ms=12.5)
+    m.log(event="frame", ms=13.5)
+    rows = m.read()
+    assert len(rows) == 2 and rows[0]["ms"] == 12.5
+
+
+def test_framesink_roundtrip(tmp_path):
+    from rvgrt_tpu.driver.framesink import FrameSink
+
+    rng = np.random.default_rng(0)
+    with FrameSink(str(tmp_path)) as fs:
+        for i in range(4):
+            fs.push(rng.integers(0, 255, (24, 32, 3), dtype=np.uint8), i)
+        fs.flush()
+        assert fs.written == 4
+    from PIL import Image
+
+    files = sorted(os.listdir(tmp_path))
+    assert len(files) == 4
+    img = np.asarray(Image.open(tmp_path / files[0]))
+    assert img.shape == (24, 32, 3)

@@ -1,0 +1,78 @@
+"""Upscaler: shape contract, history warping, training signal."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rvgrt_tpu.upscale import model as up
+from rvgrt_tpu.upscale import train as tr
+
+
+def _inputs(h=16, w=24, seed=0):
+    rng = np.random.default_rng(seed)
+    return dict(
+        color=jnp.asarray(rng.random((h, w, 3)), jnp.float32),
+        motion=jnp.zeros((h, w, 2), jnp.float32),
+        depth=jnp.ones((h, w), jnp.float32),
+        jitter=jnp.zeros((2,), jnp.float32),
+        history=jnp.zeros((h * up.SCALE, w * up.SCALE, 3), jnp.float32),
+    )
+
+
+def test_upscale_shapes_and_range():
+    i = _inputs()
+    net, params = up.init_params(jax.random.PRNGKey(0), 16, 24, features=8)
+    out, alpha = up.upscale(net, params, i["color"], i["motion"], i["depth"],
+                            i["jitter"], i["history"])
+    assert out.shape == (48, 72, 3)
+    assert alpha.shape == (48, 72)
+    o = np.asarray(out)
+    assert o.min() >= 0.0 and o.max() <= 1.0 and np.isfinite(o).all()
+
+
+def test_warp_history_identity_and_shift():
+    rng = np.random.default_rng(1)
+    hist = jnp.asarray(rng.random((12, 18, 3)), jnp.float32)
+    zero_mv = jnp.zeros((4, 6, 2), jnp.float32)
+    warped = up.warp_history(hist, zero_mv)
+    np.testing.assert_allclose(np.asarray(warped), np.asarray(hist),
+                               atol=1e-6)
+    # uniform motion of +2 NDC-x/hw pixels shifts the lookup left
+    mv = jnp.zeros((4, 6, 2), jnp.float32).at[..., 0].set(2.0 * 2.0 / 18.0)
+    warped = np.asarray(up.warp_history(hist, mv))
+    np.testing.assert_allclose(warped[:, 2:], np.asarray(hist)[:, :-2],
+                               atol=1e-5)
+
+
+def test_train_step_reduces_loss():
+    i = _inputs()
+    net, params = up.init_params(jax.random.PRNGKey(0), 16, 24, features=8)
+    target = jax.image.resize(i["color"], (48, 72, 3), "bilinear")
+    s = tr.Sample(color=i["color"], motion=i["motion"], depth=i["depth"],
+                  jitter=i["jitter"], history=i["history"], target=target)
+    opt = tr.make_optimizer(1e-2)
+    ost = opt.init(params)
+    losses = []
+    for _ in range(10):
+        params, ost, loss = tr.train_step(params, ost, net, opt, s)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.8, losses
+
+
+def test_upscaler_beats_nearest_after_training():
+    """Tiny sanity: on a fixed checkerboard target, a few steps of training
+    beat the un-trained net."""
+    i = _inputs(8, 12, seed=3)
+    net, params = up.init_params(jax.random.PRNGKey(1), 8, 12, features=8)
+    yy, xx = np.meshgrid(np.arange(24), np.arange(36), indexing="ij")
+    target = jnp.asarray(
+        np.stack([(yy // 3 + xx // 3) % 2] * 3, -1).astype(np.float32))
+    s = tr.Sample(color=i["color"], motion=i["motion"], depth=i["depth"],
+                  jitter=i["jitter"], history=i["history"], target=target)
+    loss0 = float(tr.loss_fn(params, net, s))
+    opt = tr.make_optimizer(1e-2)
+    ost = opt.init(params)
+    for _ in range(25):
+        params, ost, _ = tr.train_step(params, ost, net, opt, s)
+    loss1 = float(tr.loss_fn(params, net, s))
+    assert loss1 < loss0
