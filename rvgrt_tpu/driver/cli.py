@@ -45,17 +45,38 @@ def tiny_config() -> EngineConfig:
                             RenderConfig(), width=160, height=96))
 
 
-def spawn_above_terrain(eng: Engine, x: int | None = None,
-                        z: int | None = None, clearance: float = 8.0):
-    """Place the character in air above the terrain column at (x, z)."""
+def find_interesting_column(eng: Engine):
+    """(x, z, top_y) of a tall-terrain column - a view with actual content
+    (ocean-only views defeat visual tests and upscaler training)."""
     cfg = eng.ecfg.world
-    x = cfg.size_x // 2 if x is None else x
-    z = cfg.size_z // 2 if z is None else z
     bits_np = np.asarray(eng.world.bits).reshape(
         cfg.size_z, cfg.size_y, cfg.size_x // 32)
-    col = np.asarray(vg.unpack_bits_x(bits_np[z]))[:, x]  # (Y,) bools
-    solid_ys = np.where(col)[0]
-    top = float(solid_ys.max()) if len(solid_ys) else 30.0
+    # subsample columns for speed
+    zs = np.arange(0, cfg.size_z, max(1, cfg.size_z // 64))
+    best = (cfg.size_x // 2, cfg.size_z // 2, 30.0)
+    for z in zs:
+        plane = np.asarray(vg.unpack_bits_x(bits_np[z]))  # (Y, X)
+        heights = (cfg.size_y - 1
+                   - np.argmax(plane[::-1], axis=0)) * plane.any(axis=0)
+        x = int(heights.argmax())
+        if heights[x] > best[2]:
+            best = (x, int(z), float(heights[x]))
+    return best
+
+
+def spawn_above_terrain(eng: Engine, x: int | None = None,
+                        z: int | None = None, clearance: float = 8.0):
+    """Place the character in air above the terrain column at (x, z);
+    defaults to a tall-terrain column."""
+    cfg = eng.ecfg.world
+    if x is None or z is None:
+        x, z, top = find_interesting_column(eng)
+    else:
+        bits_np = np.asarray(eng.world.bits).reshape(
+            cfg.size_z, cfg.size_y, cfg.size_x // 32)
+        col = np.asarray(vg.unpack_bits_x(bits_np[z]))[:, x]  # (Y,) bools
+        solid_ys = np.where(col)[0]
+        top = float(solid_ys.max()) if len(solid_ys) else 30.0
     y = min(top + clearance, cfg.size_y - 2.0)
     eng.character.position = np.array([x, y, z], np.float32)
     eng.character.pitch = -math.pi - 0.5

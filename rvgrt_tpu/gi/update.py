@@ -83,6 +83,8 @@ def init_gi(bits, sdf, ecfg: EngineConfig) -> jax.Array:
     (InitialGlobalIlluminate, CoarseArray.cu:211-245)."""
     cfg, lcfg = ecfg.world, ecfg.lighting
     idx = jnp.arange(cfg.gi_num_cells, dtype=jnp.int32)
+    # 2-D ray batch so the tracer's tile retirement applies
+    idx = idx.reshape(-1, min(cfg.gi_num_cells, 4096))
     wx, wy, wz = gi_grid.cell_world_centers(cfg, idx)
     sun = lcfg.sun_dir
     res = wavefront.trace(bits, sdf, cfg, ecfg.render, wx, wy, wz,
@@ -94,7 +96,7 @@ def init_gi(bits, sdf, ecfg: EngineConfig) -> jax.Array:
     r = jnp.where(lit, _F32(lcfg.sun_color[0]), 0.0)
     g = jnp.where(lit, _F32(lcfg.sun_color[1]), 0.0)
     b = jnp.where(lit, _F32(lcfg.sun_color[2]), 0.0)
-    return gi_grid.pack_rgba8(r, g, b)
+    return gi_grid.pack_rgba8(r, g, b).reshape(-1)
 
 
 def update_gi(gi: jax.Array, bits, sdf, atlas, ecfg: EngineConfig,
@@ -105,6 +107,8 @@ def update_gi(gi: jax.Array, bits, sdf, atlas, ecfg: EngineConfig,
     n = min(ecfg.gi_rays_per_frame, cfg.gi_num_cells)
     table = wavefront.make_trace_table(bits, sdf, cfg)
     idx = offset.astype(jnp.int32) + jnp.arange(n, dtype=jnp.int32)
+    # 2-D ray batch so the tracer's tile retirement applies
+    idx = idx.reshape(-1, min(n, 4096))
     wx, wy, wz = gi_grid.cell_world_centers(cfg, idx)
 
     # cells inside solid voxels are skipped (kept unchanged, line 296-300)
@@ -151,7 +155,8 @@ def update_gi(gi: jax.Array, bits, sdf, atlas, ecfg: EngineConfig,
     new_b = new_b + add_b
 
     # EMA blend into the previous quantized value (lines 339-354)
-    prev_words = jax.lax.dynamic_slice(gi, (offset.astype(jnp.int32),), (n,))
+    prev_words = jax.lax.dynamic_slice(
+        gi, (offset.astype(jnp.int32),), (n,)).reshape(idx.shape)
     pr, pg, pb, _ = gi_grid.unpack_rgba8(prev_words)
     lr = _F32(lcfg.gi_learning_rate)
     fr = pr + (new_r - pr) * lr
@@ -159,7 +164,7 @@ def update_gi(gi: jax.Array, bits, sdf, atlas, ecfg: EngineConfig,
     fb = pb + (new_b - pb) * lr
     packed = gi_grid.pack_rgba8(fr, fg, fb)
     packed = jnp.where(inside, prev_words, packed)
-    return jax.lax.dynamic_update_slice(gi, packed,
+    return jax.lax.dynamic_update_slice(gi, packed.reshape(-1),
                                         (offset.astype(jnp.int32),))
 
 

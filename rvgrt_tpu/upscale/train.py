@@ -116,15 +116,82 @@ def train(ecfg, steps: int = 200, low_w: int = 128, low_h: int = 96,
 
 
 def save_params(params, path: str):
-    import pickle
+    from rvgrt_tpu.driver import checkpoint
 
-    flat = jax.device_get(params)
-    with open(path, "wb") as f:
-        pickle.dump(flat, f)
+    checkpoint.save_params(path, params)
 
 
 def load_params(path: str):
-    import pickle
+    from rvgrt_tpu.driver import checkpoint
 
-    with open(path, "rb") as f:
-        return pickle.load(f)
+    return checkpoint.load_params(path)
+
+
+def psnr(a, b) -> float:
+    mse = float(jnp.mean((a - b) ** 2))
+    if mse == 0:
+        return 99.0
+    return float(10.0 * jnp.log10(1.0 / mse))
+
+
+def evaluate(net, params, samples) -> dict:
+    """PSNR of the net vs plain bilinear upsampling on held-out pairs."""
+    net_psnrs, bil_psnrs = [], []
+    for s in samples:
+        warped = up_model.warp_history(s.history, s.motion)
+        out, _ = net.apply(params, s.color, s.motion, s.depth, s.jitter,
+                           warped)
+        bil = jax.image.resize(s.color, s.target.shape, "bilinear")
+        net_psnrs.append(psnr(out, s.target))
+        bil_psnrs.append(psnr(bil, s.target))
+    return {"psnr_net": sum(net_psnrs) / len(net_psnrs),
+            "psnr_bilinear": sum(bil_psnrs) / len(bil_psnrs)}
+
+
+def main():
+    """Train the upscaler on engine-rendered pairs and save params."""
+    import argparse
+    import time
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--cube", type=int, default=8)
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--low-w", type=int, default=128)
+    p.add_argument("--low-h", type=int, default=96)
+    p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--out", default="checkpoints/upscaler.pkl")
+    args = p.parse_args()
+
+    import dataclasses
+
+    from rvgrt_tpu.config import EngineConfig, RenderConfig, WorldConfig
+
+    ecfg = EngineConfig(world=WorldConfig().with_cube(args.cube),
+                        render=RenderConfig())
+    t0 = time.time()
+    data = list(render_pair_dataset(ecfg, args.frames, args.low_w,
+                                    args.low_h))
+    print(f"rendered {len(data)} pairs in {time.time() - t0:.0f}s",
+          flush=True)
+
+    net, params = up_model.init_params(jax.random.PRNGKey(0), args.low_h,
+                                       args.low_w)
+    opt = make_optimizer(1e-3)
+    opt_state = opt.init(params)
+    train_set, eval_set = data[:-4], data[-4:]
+    t0 = time.time()
+    for i in range(args.steps):
+        s = train_set[i % len(train_set)]
+        params, opt_state, loss = train_step(params, opt_state, net, opt, s)
+        if i % 50 == 0:
+            print(f"step {i}: loss {float(loss):.4f}", flush=True)
+    print(f"trained {args.steps} steps in {time.time() - t0:.0f}s",
+          flush=True)
+    metrics = evaluate(net, params, eval_set)
+    print("eval:", metrics, flush=True)
+    save_params(params, args.out)
+    print(f"saved {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
