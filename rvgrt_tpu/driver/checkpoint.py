@@ -80,11 +80,20 @@ def load_world(path: str, ecfg: EngineConfig):
         for k in ("shift_x", "shift_y", "shift_z"):
             assert meta[k] == getattr(ecfg.world, k), (
                 f"checkpoint {k}={meta[k]} != config {getattr(ecfg.world, k)}")
+        from rvgrt_tpu.world import gi_grid, voxel_grid
+
+        sdf = jnp.asarray(d["sdf"])
+        bits = jnp.asarray(d["bits"])
         world = World(
-            bits=jnp.asarray(d["bits"]),
-            sdf=jnp.asarray(d["sdf"]),
+            bits=bits,
+            sdf=sdf,
             gi=jnp.asarray(d["gi"]),
             atlas=jnp.asarray(d["atlas"]),
+            # derived, not persisted
+            gi_occ=jax.jit(gi_grid.build_occlusion,
+                           static_argnums=1)(sdf, ecfg.world),
+            sky_y=jax.jit(voxel_grid.sky_limit,
+                          static_argnums=1)(bits, ecfg.world),
         )
         return world, int(meta["frame_count"]), int(meta["gi_offset"])
 

@@ -39,6 +39,11 @@ class World:
     sdf: jax.Array    # (sdf_cells,) uint8 coarse SDF
     gi: jax.Array     # (gi_cells,) uint32 packed RGBA8 radiance
     atlas: jax.Array  # (256*256,) uint32 packed RGBA8 texture atlas
+    # derived: cone-occlusion mip at GI res (alpha-byte-shifted u32);
+    # rebuilt from sdf on load, never persisted
+    gi_occ: jax.Array | None = None
+    # derived: 1 + highest solid voxel y (f32 scalar) for sky early-exit
+    sky_y: jax.Array | None = None
 
 
 def build_world(ecfg: EngineConfig, verbose: bool = True,
@@ -60,7 +65,11 @@ def build_world(ecfg: EngineConfig, verbose: bool = True,
             gi.block_until_ready()
     else:
         gi = gi_grid.zeros(cfg)
-    return World(bits=bits, sdf=sdf, gi=gi, atlas=atlas)
+    gi_occ = jax.jit(gi_grid.build_occlusion,
+                     static_argnums=1)(sdf, cfg)
+    sky_y = jax.jit(voxel_grid.sky_limit, static_argnums=1)(bits, cfg)
+    return World(bits=bits, sdf=sdf, gi=gi, atlas=atlas, gi_occ=gi_occ,
+                 sky_y=sky_y)
 
 
 def camera_arrays(cam: Camera, vp: np.ndarray | None = None,
@@ -81,13 +90,15 @@ def camera_arrays(cam: Camera, vp: np.ndarray | None = None,
 def frame_step(bits, sdf, gi, atlas, cam: pipeline.CameraArrays,
                frame: jax.Array, gi_offset: jax.Array,
                ecfg: EngineConfig, include_gi: bool = True,
-               update_gi: bool = True):
+               update_gi: bool = True, gi_occ=None, sky_y=None):
     """One frame: GI progressive update + full render (renderLoop order,
     main.cpp:119-124: GI update precedes drawCUDA)."""
     if update_gi:
-        gi = gi_update.update_gi(gi, bits, sdf, atlas, ecfg, frame, gi_offset)
+        gi = gi_update.update_gi(gi, bits, sdf, atlas, ecfg, frame,
+                                 gi_offset, sky_y=sky_y)
     out = pipeline.render_frame(bits, sdf, gi, atlas, cam, ecfg,
-                                include_gi=include_gi)
+                                include_gi=include_gi, gi_occ=gi_occ,
+                                sky_y=sky_y)
     return out, gi
 
 
@@ -122,7 +133,8 @@ class Engine:
             cam, jnp.asarray(self.frame_count, jnp.uint32),
             jnp.asarray(self.gi_offset, jnp.int32),
             self.ecfg, include_gi=self.include_gi,
-            update_gi=self.include_gi)
+            update_gi=self.include_gi, gi_occ=self.world.gi_occ,
+            sky_y=self.world.sky_y)
         self.world.gi = gi
         self.frame_count += 1
         self.gi_offset = gi_update.advance_offset(self.gi_offset, self.ecfg)

@@ -78,7 +78,7 @@ def random_sphere_dirs(seed, attempts: int = 8):
     return px * inv, py * inv, pz * inv
 
 
-def init_gi(bits, sdf, ecfg: EngineConfig) -> jax.Array:
+def init_gi(bits, sdf, ecfg: EngineConfig, sky_y=None) -> jax.Array:
     """One sun-shadow ray per cell: sunlit cells start at sun color
     (InitialGlobalIlluminate, CoarseArray.cu:211-245)."""
     cfg, lcfg = ecfg.world, ecfg.lighting
@@ -91,7 +91,7 @@ def init_gi(bits, sdf, ecfg: EngineConfig) -> jax.Array:
                           jnp.full_like(wx, sun[0]),
                           jnp.full_like(wx, sun[1]),
                           jnp.full_like(wx, sun[2]),
-                          jnp.full_like(wx, 0.0001))
+                          jnp.full_like(wx, 0.0001), sky_y=sky_y)
     lit = ~res.hit
     r = jnp.where(lit, _F32(lcfg.sun_color[0]), 0.0)
     g = jnp.where(lit, _F32(lcfg.sun_color[1]), 0.0)
@@ -100,7 +100,7 @@ def init_gi(bits, sdf, ecfg: EngineConfig) -> jax.Array:
 
 
 def update_gi(gi: jax.Array, bits, sdf, atlas, ecfg: EngineConfig,
-              frame: jax.Array, offset: jax.Array) -> jax.Array:
+              frame: jax.Array, offset: jax.Array, sky_y=None) -> jax.Array:
     """One progressive sweep slice: update ``gi_rays_per_frame`` cells
     starting at ``offset`` (GlobalIlluminate, CoarseArray.cu:273-355)."""
     cfg, lcfg, rcfg = ecfg.world, ecfg.lighting, ecfg.render
@@ -123,7 +123,8 @@ def update_gi(gi: jax.Array, bits, sdf, atlas, ecfg: EngineConfig,
                              jnp.full_like(wx, sun[0]),
                              jnp.full_like(wx, sun[1]),
                              jnp.full_like(wx, sun[2]),
-                             jnp.full_like(wx, 0.001), table=table)
+                             jnp.full_like(wx, 0.001), table=table,
+                             sky_y=sky_y)
     new_r = jnp.where(~shadow.hit, _F32(lcfg.sun_color[0]), 0.0)
     new_g = jnp.where(~shadow.hit, _F32(lcfg.sun_color[1]), 0.0)
     new_b = jnp.where(~shadow.hit, _F32(lcfg.sun_color[2]), 0.0)
@@ -134,7 +135,7 @@ def update_gi(gi: jax.Array, bits, sdf, atlas, ecfg: EngineConfig,
     bdx, bdy, bdz = random_sphere_dirs(seed)
     bounce = wavefront.trace(bits, sdf, cfg, rcfg, wx, wy, wz,
                              bdx, bdy, bdz, jnp.full_like(wx, 0.001),
-                             table=table)
+                             table=table, sky_y=sky_y)
 
     # hit: previous-radiance at hit cell x surface albedo (color bleeding)
     br, bg, bb, _, ok = gi_grid.sample_at_world(gi, cfg, bounce.px,

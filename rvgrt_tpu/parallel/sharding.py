@@ -37,7 +37,8 @@ def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
 
 def render_frame_sharded(bits, sdf, gi, atlas, cam: pipeline.CameraArrays,
                          ecfg: EngineConfig, mesh: Mesh,
-                         include_gi: bool = True) -> pipeline.FrameOutputs:
+                         include_gi: bool = True,
+                         gi_occ=None, sky_y=None) -> pipeline.FrameOutputs:
     """Render with pixel rows sharded across the mesh's ``rays`` axis.
 
     Returns FrameOutputs whose leading (row) axis is sharded; callers can
@@ -48,22 +49,29 @@ def render_frame_sharded(bits, sdf, gi, atlas, cam: pipeline.CameraArrays,
     assert h % (2 * n) == 0, (h, n)
     slab_h = h // n
 
-    def shard_fn(bits, sdf, gi, atlas, cam):
+    def shard_fn(bits, sdf, gi, atlas, cam, gi_occ, sky_y):
         idx = jax.lax.axis_index("rays")
         y0 = (idx * slab_h).astype(jnp.int32)
         return pipeline.render_slab(bits, sdf, gi, atlas, cam, ecfg,
                                     y0=y0, slab_h=slab_h,
-                                    include_gi=include_gi)
+                                    include_gi=include_gi, gi_occ=gi_occ,
+                                    sky_y=sky_y)
 
+    if gi_occ is None:
+        from rvgrt_tpu.world import gi_grid
+        gi_occ = gi_grid.build_occlusion(sdf, ecfg.world)
+    if sky_y is None:
+        from rvgrt_tpu.world import voxel_grid
+        sky_y = voxel_grid.sky_limit(bits, ecfg.world)
     rep = P()
     out_specs = pipeline.FrameOutputs(
         color=P("rays"), motion=P("rays"), depth=P("rays"),
         half_dist=P("rays"), half_shadow=P("rays"))
     fn = shard_map(shard_fn, mesh=mesh,
                    in_specs=(rep, rep, rep, rep,
-                             pipeline.CameraArrays(*([rep] * 8))),
+                             pipeline.CameraArrays(*([rep] * 8)), rep, rep),
                    out_specs=out_specs)
-    return fn(bits, sdf, gi, atlas, cam)
+    return fn(bits, sdf, gi, atlas, cam, gi_occ, sky_y)
 
 
 def update_gi_sharded(gi, bits, sdf, atlas, ecfg: EngineConfig, frame,

@@ -33,7 +33,7 @@ from rvgrt_tpu.config import EngineConfig
 from rvgrt_tpu.core import vecmath as vm
 from rvgrt_tpu.render import shading
 from rvgrt_tpu.trace import wavefront
-from rvgrt_tpu.world import atlas as atlas_mod
+from rvgrt_tpu.world import atlas as atlas_mod, gi_grid
 
 _F32 = jnp.float32
 
@@ -91,19 +91,76 @@ def _ray_dirs(cam: CameraArrays, width: int, height: int,
 
 
 def _shadow_trace(bits, sdf, cfg, rcfg, hit, hpos, normal, sun,
-                  offset: float, table=None):
+                  offset: float, table=None, sky_y=None):
     """Sun-shadow ray from hit + normal*offset; misses parked OOB."""
     ox = jnp.where(hit, hpos[0] + normal[0] * offset, _F32(-10.0))
     oy = jnp.where(hit, hpos[1] + normal[1] * offset, _F32(-10.0))
     oz = jnp.where(hit, hpos[2] + normal[2] * offset, _F32(-10.0))
     res = wavefront.trace(bits, sdf, cfg, rcfg, ox, oy, oz,
                           sun[0], sun[1], sun[2], jnp.zeros_like(ox),
-                          table=table)
+                          table=table, sky_y=sky_y)
     return res.hit
 
 
+def _min_expand_axis(c, q: int, off: int, n_out: int, axis: int):
+    """Conservative upsample-by-q along ``axis``: min over the coarse
+    samples at offsets {-1, 0, +1, +2} around each output position."""
+    e = [_phase_expand(c, q, off, delta, axis) for delta in (-1, 0, 1, 2)]
+    m = jnp.minimum(jnp.minimum(e[0], e[1]), jnp.minimum(e[2], e[3]))
+    sl = [slice(None)] * m.ndim
+    sl[axis] = slice(0, n_out)
+    return m[tuple(sl)]
+
+
+def _cascade_start(bits, sdf, cfg, rcfg, cam: CameraArrays, hy0, hrows: int,
+                   table, sky_y):
+    """Start distances for the half-res prepass from an even coarser trace.
+
+    The reference starts its half-res prepass at distance 0
+    (``StateRender.cu:270``) and only the full-res pass gets a conservative
+    start (``minDist``).  This adds one more level of the same idea: rays
+    at 1/prepass_cascade of half res trace from scratch, then every
+    half-res ray starts at (min over the surrounding coarse samples)
+    - dist_bias.  Same approximation class as the reference's minDist.
+    """
+    hw = rcfg.half_width
+    q = rcfg.prepass_cascade
+    while q > 1 and hw % q:
+        q //= 2
+    if q <= 1:
+        return jnp.zeros((hrows, hw), _F32)
+    off = q // 2
+    crows = -(-hrows // q) + 1
+    ccols = hw // q
+    # coarse rays sample the half-res pixel grid (i+0.5 convention),
+    # strided by q, edge-clamped within this slab
+    ly = jnp.clip(off + q * jnp.arange(crows, dtype=jnp.int32), 0, hrows - 1)
+    gy = jnp.clip(jnp.asarray(hy0, jnp.int32) + ly, 0, rcfg.half_height - 1)
+    lx = jnp.clip(off + q * jnp.arange(ccols, dtype=jnp.int32), 0, hw - 1)
+    ys = (gy.astype(_F32) + 0.5) / rcfg.half_height
+    xs = (lx.astype(_F32) + 0.5) / hw
+    ndc_x = xs[None, :] * 2.0 - 1.0 + cam.jitter[0]
+    ndc_y = ys[:, None] * 2.0 - 1.0 + cam.jitter[1]
+    dx = cam.forward[0] + ndc_x * cam.right[0] + ndc_y * cam.up[0]
+    dy = cam.forward[1] + ndc_x * cam.right[1] + ndc_y * cam.up[1]
+    dz = cam.forward[2] + ndc_x * cam.right[2] + ndc_y * cam.up[2]
+    inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    res = wavefront.trace(bits, sdf, cfg, rcfg,
+                          cam.pos[0], cam.pos[1], cam.pos[2],
+                          dx * inv, dy * inv, dz * inv,
+                          jnp.zeros((crows, ccols), _F32),
+                          table=table, sky_y=sky_y)
+    d = jnp.sqrt((res.px - cam.pos[0]) ** 2 + (res.py - cam.pos[1]) ** 2
+                 + (res.pz - cam.pos[2]) ** 2)
+    dist = jnp.where(res.hit, d, _F32(rcfg.miss_distance))
+    m = _min_expand_axis(dist, q, off, hrows, 0)
+    m = _min_expand_axis(m, q, off, hw, 1)
+    return jnp.maximum(m - _F32(rcfg.dist_bias), 0.0)
+
+
 def half_res_prepass(bits, sdf, cfg, rcfg, lcfg, cam: CameraArrays,
-                     hy0=0, hrows: int | None = None, table=None):
+                     hy0=0, hrows: int | None = None, table=None,
+                     sky_y=None):
     """distApproximationKernel (StateRender.cu:255-286): distance - 8
     (miss -> 300) and hard shadow factor at half render resolution.
     ``hy0``/``hrows`` select a half-res row slab (edge-clamped)."""
@@ -111,10 +168,12 @@ def half_res_prepass(bits, sdf, cfg, rcfg, lcfg, cam: CameraArrays,
     hrows = hh if hrows is None else hrows
     dx, dy, dz = _ray_dirs(cam, hw, hh, pixel_center=True, y0=hy0,
                            rows=hrows)
+    start = _cascade_start(bits, sdf, cfg, rcfg, cam, hy0, hrows, table,
+                           sky_y)
     res = wavefront.trace(bits, sdf, cfg, rcfg,
                           cam.pos[0], cam.pos[1], cam.pos[2],
-                          dx, dy, dz, jnp.zeros((hrows, hw), _F32),
-                          table=table)
+                          dx, dy, dz, start,
+                          table=table, sky_y=sky_y)
     d = jnp.sqrt((res.px - cam.pos[0]) ** 2 + (res.py - cam.pos[1]) ** 2
                  + (res.pz - cam.pos[2]) ** 2)
     dist = jnp.where(res.hit, d, _F32(rcfg.miss_distance))
@@ -123,7 +182,7 @@ def half_res_prepass(bits, sdf, cfg, rcfg, lcfg, cam: CameraArrays,
     shadow_hit = _shadow_trace(bits, sdf, cfg, rcfg, res.hit,
                                (res.px, res.py, res.pz),
                                (res.nx, res.ny, res.nz), sun, offset=1e-1,
-                               table=table)
+                               table=table, sky_y=sky_y)
     shadow = jnp.where(res.hit & shadow_hit, _F32(lcfg.shadow_factor),
                        _F32(1.0))
     return dist - _F32(rcfg.dist_bias), shadow
@@ -180,9 +239,140 @@ def _bilinear_upsample_slab(half_halo: jnp.ndarray, slab_h: int):
     return jnp.stack([avg, cpy], axis=1).reshape(slab_h, ax.shape[1])
 
 
+def _clamped_shift(c, delta: int, axis: int):
+    """``out[i] = c[clip(i + delta, 0, n-1)]`` via static pad/slice (no
+    gathers - random gathers are the budget everything here protects)."""
+    if delta == 0:
+        return c
+    pad = [(0, 0)] * c.ndim
+    pad[axis] = (max(-delta, 0), max(delta, 0))
+    p = jnp.pad(c, pad, mode="edge")
+    sl = [slice(None)] * c.ndim
+    sl[axis] = slice(max(delta, 0), max(delta, 0) + c.shape[axis])
+    return p[tuple(sl)]
+
+
+def _phase_expand(c, d: int, off: int, delta: int, axis: int):
+    """Upsample by ``d`` along ``axis`` with nearest-coarse replication:
+    ``out[y] = c[clip(i0(y) + delta)]`` where ``i0(y) = floor((y-off)/d)``
+    (coarse samples were taken at full-res positions ``off + d*i``).
+    Pure interleave of ``d`` statically shifted copies - no gathers."""
+    if d == 1:
+        return _clamped_shift(c, delta, axis)
+    phases = [_clamped_shift(c, delta + (0 if r >= off else -1), axis)
+              for r in range(d)]
+    st = jnp.stack(phases, axis=axis + 1)
+    shape = list(c.shape)
+    shape[axis] *= d
+    return st.reshape(shape)
+
+
+def _phase_frac(n_coarse: int, d: int, off: int):
+    """Per-output bilinear fraction toward the +1 coarse neighbor."""
+    fr = jnp.array([((r - off) % d) / d for r in range(d)], _F32)
+    return jnp.tile(fr, n_coarse)
+
+
+def _normal_code(nx, ny, nz):
+    """Face normals are axis-aligned: encode as a small int for equality
+    tests in the GI upsample (0..5 = +-x/+-y/+-z, 6 = degenerate)."""
+    i32 = jnp.int32
+    return jnp.where(nx != 0, (nx > 0).astype(i32),
+                     jnp.where(ny != 0, 2 + (ny > 0).astype(i32),
+                               jnp.where(nz != 0, 4 + (nz > 0).astype(i32),
+                                         6)))
+
+
+def _gi_joint_upsample(cir, cig, cib, c_t, c_code, c_valid,
+                       t_full, code_full, d: int, rel_thresh: float):
+    """Geometry-aware (Hc,Wc) -> (H,W) upsample of the strided GI gather.
+
+    Bilinear weights x validity x similarity (same face normal, hit
+    distance within a relative threshold); where no similar coarse sample
+    exists, falls back to validity-weighted bilinear (GI is additive
+    low-frequency light - a slightly blurred fallback beats a black halo).
+    """
+    off = d // 2
+    hc, wc = cir.shape
+    fy = _phase_frac(hc, d, off)[:, None]
+    fx = _phase_frac(wc, d, off)[None, :]
+    chans = (cir, cig, cib)
+    num1 = [0.0, 0.0, 0.0]
+    num2 = [0.0, 0.0, 0.0]
+    den1 = jnp.zeros_like(t_full)
+    den2 = jnp.zeros_like(t_full)
+    for dy in (0, 1):
+        wy = fy if dy else 1.0 - fy
+        for dx in (0, 1):
+            wx_ = fx if dx else 1.0 - fx
+
+            def ex(c, dy=dy, dx=dx):
+                e = _phase_expand(c, d, off, dy, 0)
+                return _phase_expand(e, d, off, dx, 1)
+
+            wb = wy * wx_ * ex(c_valid).astype(_F32)
+            et = ex(c_t)
+            sim = (ex(c_code) == code_full) \
+                & (jnp.abs(et - t_full)
+                   <= _F32(rel_thresh) * t_full + _F32(2.0))
+            w1 = wb * sim.astype(_F32)
+            den1 = den1 + w1
+            den2 = den2 + wb
+            for k in range(3):
+                e = ex(chans[k])
+                num1[k] = num1[k] + w1 * e
+                num2[k] = num2[k] + wb * e
+    use1 = den1 > 1e-4
+    use2 = den2 > 1e-4
+    out = []
+    for k in range(3):
+        v1 = num1[k] / jnp.maximum(den1, 1e-6)
+        v2 = num2[k] / jnp.maximum(den2, 1e-6)
+        out.append(jnp.where(use1, v1, jnp.where(use2, v2, 0.0)))
+    return out[0], out[1], out[2]
+
+
+def gather_gi_image(res, gi, sdf, cfg, rcfg, lcfg, gi_occ=None):
+    """Per-pixel indirect light for a traced frame.
+
+    The reference cone-marches every pixel (``StateRender.cu:100-127``).
+    Here, with ``gi_res_divisor`` > 1, cones march every Nth pixel and the
+    result is geometry-aware-upsampled: GI is low-frequency, and cone
+    gathers are the dominant frame cost on TPU (measured ~2.8s/frame at
+    720p full-res vs ~0.1s strided).
+    """
+    cone_tbl = None
+    if rcfg.gi_fused_cone:
+        occ = gi_occ if gi_occ is not None \
+            else gi_grid.build_occlusion(sdf, cfg)
+        cone_tbl = gi_grid.make_cone_table(gi, occ)
+    h, w = res.hit.shape
+    d = rcfg.gi_res_divisor
+    while d > 1 and (h % d or w % d):
+        d //= 2
+    hpos = (res.px, res.py, res.pz)
+    normal = (res.nx, res.ny, res.nz)
+    if d <= 1:
+        return shading.gather_gi(hpos, normal, gi, sdf, cfg, lcfg,
+                                 cone_table=cone_tbl)
+    off = d // 2
+
+    def sub(a):
+        return a[off::d, off::d]
+
+    cir, cig, cib = shading.gather_gi(
+        tuple(sub(a) for a in hpos), tuple(sub(a) for a in normal),
+        gi, sdf, cfg, lcfg, cone_table=cone_tbl)
+    code = _normal_code(res.nx, res.ny, res.nz)
+    return _gi_joint_upsample(cir, cig, cib, sub(res.t), sub(code),
+                              sub(res.hit), res.t, code, d,
+                              rcfg.gi_depth_threshold)
+
+
 def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
                 ecfg: EngineConfig, y0, slab_h: int,
-                include_gi: bool = True) -> FrameOutputs:
+                include_gi: bool = True, gi_occ=None,
+                sky_y=None) -> FrameOutputs:
     """Render rows [y0, y0 + slab_h) of the frame.
 
     The unit of pixel-parallel work: a full frame is one slab; a sharded
@@ -202,7 +392,7 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
     hrows = slab_h // 2 + 2
     half_dist, half_shadow = half_res_prepass(bits, sdf, cfg, rcfg, lcfg,
                                               cam, hy0=hy0, hrows=hrows,
-                                              table=table)
+                                              table=table, sky_y=sky_y)
     start_dist = _min_dist_upsample_slab(half_dist, slab_h)
     shadow_full = _bilinear_upsample_slab(half_shadow, slab_h)
 
@@ -211,7 +401,7 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
                            y0=y0, rows=slab_h)
     res = wavefront.trace(bits, sdf, cfg, rcfg,
                           cam.pos[0], cam.pos[1], cam.pos[2],
-                          dx, dy, dz, start_dist, table=table)
+                          dx, dy, dz, start_dist, table=table, sky_y=sky_y)
     hit = res.hit
     hpos = (res.px, res.py, res.pz)
     normal = (res.nx, res.ny, res.nz)
@@ -227,13 +417,14 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
     roz = jnp.where(is_water, res.pz, _F32(-10.0))
     refl = wavefront.trace(bits, sdf, cfg, rcfg, rox, roy, roz,
                            refl_dir[0], refl_dir[1], refl_dir[2],
-                           jnp.full(hit.shape, 0.001, _F32), table=table)
+                           jnp.full(hit.shape, 0.001, _F32), table=table,
+                           sky_y=sky_y)
     refl_albedo = vm.v3(*atlas_mod.sample_texture(
         atlas, refl.uv_u, refl.uv_v, refl.px, refl.py, refl.pz))
     refl_shadow_hit = _shadow_trace(
         bits, sdf, cfg, rcfg, is_water & refl.hit,
         (refl.px, refl.py, refl.pz), (refl.nx, refl.ny, refl.nz), sun,
-        offset=1e-3, table=table)
+        offset=1e-3, table=table, sky_y=sky_y)
     refl_solid_col = vm.where(refl_shadow_hit,
                               vm.scale(refl_albedo, 0.1), refl_albedo)
     refl_col = vm.where(refl.hit, refl_solid_col,
@@ -250,7 +441,8 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
     direct = vm.scale(albedo, diffuse * shadow_full)
     solid_col = direct
     if include_gi:
-        ir, ig, ib = shading.gather_gi(hpos, normal, gi, sdf, cfg, lcfg)
+        ir, ig, ib = gather_gi_image(res, gi, sdf, cfg, rcfg, lcfg,
+                                     gi_occ=gi_occ)
         indirect = vm.mul(vm.v3(ir, ig, ib),
                           vm.scale(albedo, _F32(lcfg.gi_strength)))
         ambient = vm.mul(shading.sample_sky(normal, lcfg),
@@ -287,8 +479,9 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
 
 
 def render_frame(bits, sdf, gi, atlas, cam: CameraArrays,
-                 ecfg: EngineConfig, include_gi: bool = True) -> FrameOutputs:
+                 ecfg: EngineConfig, include_gi: bool = True,
+                 gi_occ=None, sky_y=None) -> FrameOutputs:
     """Full frame = one slab covering every row."""
     return render_slab(bits, sdf, gi, atlas, cam, ecfg,
                        y0=jnp.int32(0), slab_h=ecfg.render.height,
-                       include_gi=include_gi)
+                       include_gi=include_gi, gi_occ=gi_occ, sky_y=sky_y)

@@ -34,12 +34,15 @@ def sample_sky(d, lcfg: LightingConfig):
 
 
 def trace_cone(px, py, pz, dx, dy, dz, gi, sdf, cfg: WorldConfig,
-               lcfg: LightingConfig, steps: int = 20):
+               lcfg: LightingConfig, steps: int = 20, cone_table=None):
     """Front-to-back cone march through the GI grid with SDF occlusion.
 
     Fixed ``steps`` iterations with an activity mask - uniform trip count,
     vectorizes cleanly (the reference's break conditions become mask
-    updates).  Per step: one SDF gather + one GI gather.
+    updates).  Per step: one SDF gather + one GI gather - or, when
+    ``cone_table`` (``gi_grid.make_cone_table``) is given, ONE fused gather
+    that yields both; random gathers are the whole cost of this stage on
+    TPU, so the fused path halves it.
     """
     shape = jnp.broadcast_shapes(jnp.shape(px), jnp.shape(dx))
     tan_angle = _F32(math.tan(lcfg.cone_angle))
@@ -56,17 +59,22 @@ def trace_cone(px, py, pz, dx, dy, dz, gi, sdf, cfg: WorldConfig,
         cx = px + dx * cur
         cy = py + dy * cur
         cz = pz + dz * cur
-        vx = jnp.floor(cx).astype(jnp.int32)
-        vy = jnp.floor(cy).astype(jnp.int32)
-        vz = jnp.floor(cz).astype(jnp.int32)
-        scene_dist = sdf_mod.sample_sdf_at_voxel(sdf, cfg, vx, vy, vz)\
-            .astype(_F32) * cfg.sdf_coarseness
+        if cone_table is not None:
+            r, g, b, scene_dist, ok = gi_grid.sample_cone_table(
+                cone_table, cfg, cx, cy, cz)
+            a = jnp.ones_like(r)  # stored alpha is constant 255
+        else:
+            vx = jnp.floor(cx).astype(jnp.int32)
+            vy = jnp.floor(cy).astype(jnp.int32)
+            vz = jnp.floor(cz).astype(jnp.int32)
+            scene_dist = sdf_mod.sample_sdf_at_voxel(sdf, cfg, vx, vy, vz)\
+                .astype(_F32) * cfg.sdf_coarseness
+            r, g, b, a, ok = gi_grid.sample_at_world(gi, cfg, cx, cy, cz)
         cone_w = cur * tan_angle
         occluded = active & (scene_dist < cone_w)
         acc_a = jnp.where(occluded, 1.0, acc_a)
 
         sample = active & ~occluded
-        r, g, b, a, ok = gi_grid.sample_at_world(gi, cfg, cx, cy, cz)
         blend = jnp.where(sample & ok, (1.0 - acc_a) * a, 0.0)
         acc_r = acc_r + r * blend
         acc_g = acc_g + g * blend
@@ -115,7 +123,7 @@ def cone_directions(n):
 
 
 def gather_gi(hit_pos, normal, gi, sdf, cfg: WorldConfig,
-              lcfg: LightingConfig):
+              lcfg: LightingConfig, cone_table=None):
     """6-cone VCT gather, averaged (StateRender.cu:101-121).  Returns the
     *unmodulated* indirect light (caller multiplies by albedo*strength).
 
@@ -126,7 +134,8 @@ def gather_gi(hit_pos, normal, gi, sdf, cfg: WorldConfig,
 
     def step(acc, d):
         r, g, b = trace_cone(hit_pos[0], hit_pos[1], hit_pos[2],
-                             d[0], d[1], d[2], gi, sdf, cfg, lcfg)
+                             d[0], d[1], d[2], gi, sdf, cfg, lcfg,
+                             cone_table=cone_table)
         return (acc[0] + r, acc[1] + g, acc[2] + b), None
 
     zero = hit_pos[0] * _F32(0.0) + normal[0] * _F32(0.0)

@@ -129,17 +129,47 @@ def _bits_word_index(cfg: WorldConfig, vx, vy, vz):
     return wi, x & 31
 
 
+def _pick_tile_count(n: int, target_size: int, min_size: int,
+                     pad_penalty: int = 0) -> int:
+    """Tile count along one image axis: the divisor of ``n`` whose tile
+    size is closest to ``target_size`` (never below ``min_size``).
+
+    ``pad_penalty`` > 0 charges vreg padding (a 160-wide tile occupies 256
+    lanes); essential on the 128-lane axis, near-free on the 8-sublane
+    axis (20-row tiles measured faster than 24 despite padding).
+    """
+    best, best_score = 1, float("inf")
+    for t in range(1, n + 1):
+        if n % t:
+            continue
+        size = n // t
+        if size < min_size:
+            break
+        padded = -(-size // min_size) * min_size
+        score = (padded - size) * pad_penalty + abs(padded - target_size)
+        if score < best_score:
+            best, best_score = t, score
+    return best
+
+
 def trace(bits: jax.Array, sdf: jax.Array, cfg: WorldConfig,
           rcfg: RenderConfig,
           ox, oy, oz, dx, dy, dz, t_start,
           quantize_start_fp16: bool = True,
           table: jax.Array | None = None,
-          row_tiles: int | None = None) -> TraceResult:
+          row_tiles: int | None = None,
+          sky_y=None) -> TraceResult:
     """Trace rays (any common broadcast shape) through the world.
 
     ``t_start`` mirrors the reference's ``half distance`` parameter: the
     march origin is ``origin + t_start * dir`` (raytracing_functions.cu:90),
     quantized through fp16 like the implicit CUDA float->half conversion.
+
+    ``sky_y``: optional traced scalar = 1 + the highest solid voxel's y.
+    Upward rays at or above it can never hit and retire immediately instead
+    of marching to the world boundary - image-identical to the reference
+    (those rays miss either way; only the ``its`` work counter shrinks).
+    Dominant win for sun-shadow and GI sun-visibility rays.
     """
     if table is None:
         table = make_trace_table(bits, sdf, cfg)
@@ -151,14 +181,14 @@ def trace(bits: jax.Array, sdf: jax.Array, cfg: WorldConfig,
     args = tuple(jnp.broadcast_to(jnp.asarray(a, _F32), shape)
                  for a in (ox, oy, oz, dx, dy, dz, t_start))
 
-    ty = rcfg.trace_row_tiles if row_tiles is None else row_tiles
-    tx = getattr(rcfg, "trace_col_tiles", 1)
     if len(shape) == 2:
         h, w = shape
-        if h % max(ty, 1) or h // max(ty, 1) < 8:
-            ty = 1
-        if w % max(tx, 1) or w // max(tx, 1) < 128:
-            tx = 1
+        if row_tiles is not None:
+            ty = row_tiles if h % row_tiles == 0 else 1
+        else:
+            ty = _pick_tile_count(h, rcfg.trace_tile_rows, min_size=8)
+        tx = _pick_tile_count(w, rcfg.trace_tile_cols, min_size=128,
+                              pad_penalty=1000)
     else:
         ty = tx = 1
     if ty * tx > 1:
@@ -171,19 +201,20 @@ def trace(bits: jax.Array, sdf: jax.Array, cfg: WorldConfig,
             .reshape(ty * tx, th, tw) for a in args)
         res = jax.lax.map(
             lambda t: _trace_impl(table, cfg, rcfg, *t,
-                                  quantize_start_fp16=quantize_start_fp16),
+                                  quantize_start_fp16=quantize_start_fp16,
+                                  sky_y=sky_y),
             tiled)
         out = tuple(
             r.reshape(ty, tx, th, tw).transpose(0, 2, 1, 3).reshape(h, w)
             for r in res)
         return TraceResult(*out)
     return _trace_impl(table, cfg, rcfg, *args,
-                       quantize_start_fp16=quantize_start_fp16)
+                       quantize_start_fp16=quantize_start_fp16, sky_y=sky_y)
 
 
 def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
                 ox, oy, oz, dx, dy, dz, t0,
-                quantize_start_fp16: bool) -> TraceResult:
+                quantize_start_fp16: bool, sky_y=None) -> TraceResult:
     if quantize_start_fp16:
         t0 = t0.astype(jnp.float16).astype(_F32)
 
@@ -242,6 +273,12 @@ def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
         probed = (flags >> _PR_SH) & 1
 
         in_sphere = phase == PHASE_SPHERE
+        if sky_y is not None:
+            # above every solid voxel and not descending -> can never hit
+            sky_out = in_sphere & (dy >= 0) & (s["py"] >= sky_y)
+            in_sphere &= ~sky_out
+            flags = jnp.where(sky_out,
+                              _set(flags, _PH_SH, _PH_W, PHASE_MISS), flags)
         in_dda = phase == PHASE_DDA
         # probe superstep: reference's (i & 7) == 7 SDF re-check (line 127)
         probe_turn = in_dda & ((dda_i & probe_mask) == probe_mask) \

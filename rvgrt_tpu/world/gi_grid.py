@@ -76,6 +76,67 @@ def sample_at_world(gi: jax.Array, cfg: WorldConfig, wx, wy, wz):
     return r, g, b, a, ok
 
 
+def build_occlusion(sdf: jax.Array, cfg: WorldConfig,
+                    mode: str = "mean") -> jax.Array:
+    """Cone-occlusion mip at GI resolution, pre-shifted into the alpha byte.
+
+    Reduces the coarse-SDF cells covered by each GI cell (the reference
+    point-samples the SDF at the cone position,
+    ``raytracing_functions.cu:237-241``; the fused table quantizes that
+    position to GI cells).  ``mode``: "mean" (best PSNR match to the point
+    sample), "min" (conservative occlusion), "max".  Stored in SDF-cell
+    units so ``occ * sdf_coarseness`` is fine-voxel scene distance.  Built
+    once per world; OR'd with the radiance grid into the fused cone table.
+    """
+    r = cfg.gi_coarseness // cfg.sdf_coarseness
+    vol = sdf.reshape(cfg.sdf_size_z, cfg.sdf_size_y, cfg.sdf_size_x)
+    if r > 1:
+        blk = vol.reshape(cfg.gi_size_z, r, cfg.gi_size_y, r,
+                          cfg.gi_size_x, r)
+        if mode == "min":
+            vol = blk.min(axis=(1, 3, 5))
+        elif mode == "max":
+            vol = blk.max(axis=(1, 3, 5))
+        else:
+            vol = (blk.astype(jnp.uint16).sum(axis=(1, 3, 5))
+                   // (r * r * r)).astype(sdf.dtype)
+    return vol.reshape(-1).astype(_U32) << 24
+
+
+def make_cone_table(gi: jax.Array, occ: jax.Array) -> jax.Array:
+    """Fused per-frame cone-march table: radiance RGB | occlusion byte.
+
+    One uint32 gather per cone step yields both the radiance sample and the
+    occlusion distance (the reference pays two loads per step,
+    ``raytracing_functions.cu:237-248``).  The radiance alpha byte it
+    replaces is constant 255 in every stored cell (``pack_rgba8`` default),
+    so no information is lost.
+    """
+    return (gi & _U32(0x00FFFFFF)) | occ
+
+
+def sample_cone_table(tbl: jax.Array, cfg: WorldConfig, wx, wy, wz):
+    """Gather (r, g, b, scene_dist_fine, in_bounds) from the fused table."""
+    c = cfg.gi_coarseness
+    gx = (jnp.floor(jnp.asarray(wx, _F32)).astype(jnp.int32)) // c
+    gy = (jnp.floor(jnp.asarray(wy, _F32)).astype(jnp.int32)) // c
+    gz = (jnp.floor(jnp.asarray(wz, _F32)).astype(jnp.int32)) // c
+    ok = ((gx >= 0) & (gx < cfg.gi_size_x)
+          & (gy >= 0) & (gy < cfg.gi_size_y)
+          & (gz >= 0) & (gz < cfg.gi_size_z))
+    idx = cell_index(cfg, jnp.clip(gx, 0, cfg.gi_size_x - 1),
+                     jnp.clip(gy, 0, cfg.gi_size_y - 1),
+                     jnp.clip(gz, 0, cfg.gi_size_z - 1))
+    idx = jnp.clip(idx, 0, cfg.gi_num_cells - 1)
+    words = jnp.take(tbl, idx, mode="clip")
+    inv = _F32(1.0 / 255.0)
+    r = (words & _U32(0xFF)).astype(_F32) * inv
+    g = ((words >> 8) & _U32(0xFF)).astype(_F32) * inv
+    b = ((words >> 16) & _U32(0xFF)).astype(_F32) * inv
+    dist = ((words >> 24) & _U32(0xFF)).astype(_F32) * _F32(cfg.sdf_coarseness)
+    return r, g, b, dist, ok
+
+
 def cell_world_centers(cfg: WorldConfig, idx):
     """World position of GI cell centers: (c + 0.5) * COARSENESSGI
     (``CoarseArray.cu:291-293``)."""

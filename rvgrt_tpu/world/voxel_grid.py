@@ -98,6 +98,18 @@ def is_solid(bits: jax.Array, cfg: WorldConfig, x, y, z):
     return ((words >> bit) & _U32(1)).astype(jnp.bool_)
 
 
+def sky_limit(bits: jax.Array, cfg: WorldConfig) -> jax.Array:
+    """1 + the highest solid voxel's y (f32 scalar), for the tracer's
+    sky early-exit (``wavefront.trace(sky_y=...)``): an upward ray at or
+    above this height can never hit anything."""
+    y_any = (bits.reshape(cfg.size_z, cfg.size_y, cfg.size_x // 32)
+             != 0).any(axis=(0, 2))
+    top = jnp.where(y_any.any(),
+                    cfg.size_y - jnp.argmax(y_any[::-1]).astype(_I32),
+                    _I32(0))
+    return top.astype(jnp.float32)
+
+
 def coarse_occupancy(bits: jax.Array, cfg: WorldConfig,
                      coarseness: int | None = None) -> jax.Array:
     """(SZ, SY, SX) bool: coarse cell solid iff any fine voxel inside is
