@@ -88,12 +88,15 @@ def main():
 
     cams = [pan_cam(i) for i in range(n_frames + 2)]
 
-    render = jax.jit(lambda b, s, g, a, cam: pipeline.render_frame(
-        b, s, g, a, cam, ecfg, include_gi=include_gi))
+    render = jax.jit(lambda b, s, g, a, cam, occ, sky, tbl:
+                     pipeline.render_frame(
+                         b, s, g, a, cam, ecfg, include_gi=include_gi,
+                         gi_occ=occ, sky_y=sky, table=tbl))
 
     def frame(cam_obj, prev_vp=None):
         cam = eng_mod.camera_arrays(cam_obj, jitter=(0.0, 0.0))
-        return render(world.bits, world.sdf, world.gi, world.atlas, cam)
+        return render(world.bits, world.sdf, world.gi, world.atlas, cam,
+                      world.gi_occ, world.sky_y, world.trace_table)
 
     def sync(out):
         # force a real device->host readback: block_until_ready alone can

@@ -191,11 +191,16 @@ class RenderConfig:
     max_sphere_steps: int = 100
     max_dda_steps: int = 200
     sdf_probe_interval: int = 8
+    # DDA iterations executed per gathered 4x2x4 occupancy brick (VPU bit
+    # tests against the cached word); 1 = one gather per DDA step
+    dda_substeps: int = 4
     sphere_stop_dist: float = 1.0
     jump_min_dist: int = 2
 
-    # supersteps per convergence check in the wavefront loop
-    steps_per_check: int = 4
+    # supersteps per convergence check in the wavefront loop (2 measured
+    # best: a retired tile stops ~2 supersteps sooner, and every superstep
+    # costs the full lane budget)
+    steps_per_check: int = 2
 
     # start-distance cascade: trace 1/(2*prepass_cascade) of full res from
     # scratch, feed a conservative min-neighborhood start to the half-res

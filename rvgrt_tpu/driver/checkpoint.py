@@ -80,6 +80,7 @@ def load_world(path: str, ecfg: EngineConfig):
         for k in ("shift_x", "shift_y", "shift_z"):
             assert meta[k] == getattr(ecfg.world, k), (
                 f"checkpoint {k}={meta[k]} != config {getattr(ecfg.world, k)}")
+        from rvgrt_tpu.trace import wavefront
         from rvgrt_tpu.world import gi_grid, voxel_grid
 
         sdf = jnp.asarray(d["sdf"])
@@ -94,6 +95,8 @@ def load_world(path: str, ecfg: EngineConfig):
                            static_argnums=1)(sdf, ecfg.world),
             sky_y=jax.jit(voxel_grid.sky_limit,
                           static_argnums=1)(bits, ecfg.world),
+            trace_table=jax.jit(wavefront.make_trace_table,
+                                static_argnums=2)(bits, sdf, ecfg.world),
         )
         return world, int(meta["frame_count"]), int(meta["gi_offset"])
 

@@ -104,16 +104,22 @@ def main(argv=None):
 
     sink = FrameSink(args.out) if args.out else None
     avg = FrameTimeAverager()
+    # quantize + reduce on device: fetching u8 color (and a scalar hit
+    # stat) moves 4x less data through the device tunnel than f32 buffers
+    import jax
+    import jax.numpy as jnp
+    to_u8 = jax.jit(lambda c: (jnp.clip(c, 0, 1) * 255).astype(jnp.uint8))
+    hit_frac = jax.jit(lambda d: (d < 1).mean())
     for i in range(args.frames):
         inputs = InputState(move_z=1.0 if args.fly else 0.0,
                             mouse_dx=2.0 if args.fly else 0.0)
         out = eng.step(inputs)
-        img = np.asarray(out.color)
+        img = np.asarray(to_u8(out.color))
         ms = avg.tick()
         if sink is not None:
-            sink.push((img * 255).astype(np.uint8), i)
+            sink.push(img, i)
         print(f"frame {i}: {ms:.1f} ms avg, hit "
-              f"{float((np.asarray(out.depth) < 1).mean()):.2f}",
+              f"{float(hit_frac(out.depth)):.2f}",
               file=sys.stderr)
     if sink is not None:
         sink.flush()

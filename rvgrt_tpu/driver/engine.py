@@ -44,6 +44,8 @@ class World:
     gi_occ: jax.Array | None = None
     # derived: 1 + highest solid voxel y (f32 scalar) for sky early-exit
     sky_y: jax.Array | None = None
+    # derived: combined tracer gather table [4x2x4 bricks | packed SDF]
+    trace_table: jax.Array | None = None
 
 
 def build_world(ecfg: EngineConfig, verbose: bool = True,
@@ -59,17 +61,21 @@ def build_world(ecfg: EngineConfig, verbose: bool = True,
         sdf = sdf_mod.build_sdf(coarse, cfg)
         sdf.block_until_ready()
     atlas = atlas_mod.procedural_atlas()
+    from rvgrt_tpu.trace import wavefront
+    table = jax.jit(wavefront.make_trace_table,
+                    static_argnums=2)(bits, sdf, cfg)
+    sky_y = jax.jit(voxel_grid.sky_limit, static_argnums=1)(bits, cfg)
     if init_gi:
         with Timer("initializing GI", verbose):
-            gi = gi_update.init_gi(bits, sdf, ecfg)
+            gi = gi_update.init_gi(bits, sdf, ecfg, sky_y=sky_y,
+                                   table=table)
             gi.block_until_ready()
     else:
         gi = gi_grid.zeros(cfg)
     gi_occ = jax.jit(gi_grid.build_occlusion,
                      static_argnums=1)(sdf, cfg)
-    sky_y = jax.jit(voxel_grid.sky_limit, static_argnums=1)(bits, cfg)
     return World(bits=bits, sdf=sdf, gi=gi, atlas=atlas, gi_occ=gi_occ,
-                 sky_y=sky_y)
+                 sky_y=sky_y, trace_table=table)
 
 
 def camera_arrays(cam: Camera, vp: np.ndarray | None = None,
@@ -90,15 +96,16 @@ def camera_arrays(cam: Camera, vp: np.ndarray | None = None,
 def frame_step(bits, sdf, gi, atlas, cam: pipeline.CameraArrays,
                frame: jax.Array, gi_offset: jax.Array,
                ecfg: EngineConfig, include_gi: bool = True,
-               update_gi: bool = True, gi_occ=None, sky_y=None):
+               update_gi: bool = True, gi_occ=None, sky_y=None,
+               table=None):
     """One frame: GI progressive update + full render (renderLoop order,
     main.cpp:119-124: GI update precedes drawCUDA)."""
     if update_gi:
         gi = gi_update.update_gi(gi, bits, sdf, atlas, ecfg, frame,
-                                 gi_offset, sky_y=sky_y)
+                                 gi_offset, sky_y=sky_y, table=table)
     out = pipeline.render_frame(bits, sdf, gi, atlas, cam, ecfg,
                                 include_gi=include_gi, gi_occ=gi_occ,
-                                sky_y=sky_y)
+                                sky_y=sky_y, table=table)
     return out, gi
 
 
@@ -134,7 +141,7 @@ class Engine:
             jnp.asarray(self.gi_offset, jnp.int32),
             self.ecfg, include_gi=self.include_gi,
             update_gi=self.include_gi, gi_occ=self.world.gi_occ,
-            sky_y=self.world.sky_y)
+            sky_y=self.world.sky_y, table=self.world.trace_table)
         self.world.gi = gi
         self.frame_count += 1
         self.gi_offset = gi_update.advance_offset(self.gi_offset, self.ecfg)

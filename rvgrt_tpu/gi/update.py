@@ -78,7 +78,8 @@ def random_sphere_dirs(seed, attempts: int = 8):
     return px * inv, py * inv, pz * inv
 
 
-def init_gi(bits, sdf, ecfg: EngineConfig, sky_y=None) -> jax.Array:
+def init_gi(bits, sdf, ecfg: EngineConfig, sky_y=None,
+            table=None) -> jax.Array:
     """One sun-shadow ray per cell: sunlit cells start at sun color
     (InitialGlobalIlluminate, CoarseArray.cu:211-245)."""
     cfg, lcfg = ecfg.world, ecfg.lighting
@@ -91,7 +92,8 @@ def init_gi(bits, sdf, ecfg: EngineConfig, sky_y=None) -> jax.Array:
                           jnp.full_like(wx, sun[0]),
                           jnp.full_like(wx, sun[1]),
                           jnp.full_like(wx, sun[2]),
-                          jnp.full_like(wx, 0.0001), sky_y=sky_y)
+                          jnp.full_like(wx, 0.0001), sky_y=sky_y,
+                          table=table)
     lit = ~res.hit
     r = jnp.where(lit, _F32(lcfg.sun_color[0]), 0.0)
     g = jnp.where(lit, _F32(lcfg.sun_color[1]), 0.0)
@@ -100,12 +102,14 @@ def init_gi(bits, sdf, ecfg: EngineConfig, sky_y=None) -> jax.Array:
 
 
 def update_gi(gi: jax.Array, bits, sdf, atlas, ecfg: EngineConfig,
-              frame: jax.Array, offset: jax.Array, sky_y=None) -> jax.Array:
+              frame: jax.Array, offset: jax.Array, sky_y=None,
+              table=None) -> jax.Array:
     """One progressive sweep slice: update ``gi_rays_per_frame`` cells
     starting at ``offset`` (GlobalIlluminate, CoarseArray.cu:273-355)."""
     cfg, lcfg, rcfg = ecfg.world, ecfg.lighting, ecfg.render
     n = min(ecfg.gi_rays_per_frame, cfg.gi_num_cells)
-    table = wavefront.make_trace_table(bits, sdf, cfg)
+    if table is None:
+        table = wavefront.make_trace_table(bits, sdf, cfg)
     idx = offset.astype(jnp.int32) + jnp.arange(n, dtype=jnp.int32)
     # 2-D ray batch so the tracer's tile retirement applies
     idx = idx.reshape(-1, min(n, 4096))

@@ -37,8 +37,8 @@ def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
 
 def render_frame_sharded(bits, sdf, gi, atlas, cam: pipeline.CameraArrays,
                          ecfg: EngineConfig, mesh: Mesh,
-                         include_gi: bool = True,
-                         gi_occ=None, sky_y=None) -> pipeline.FrameOutputs:
+                         include_gi: bool = True, gi_occ=None, sky_y=None,
+                         table=None) -> pipeline.FrameOutputs:
     """Render with pixel rows sharded across the mesh's ``rays`` axis.
 
     Returns FrameOutputs whose leading (row) axis is sharded; callers can
@@ -49,13 +49,13 @@ def render_frame_sharded(bits, sdf, gi, atlas, cam: pipeline.CameraArrays,
     assert h % (2 * n) == 0, (h, n)
     slab_h = h // n
 
-    def shard_fn(bits, sdf, gi, atlas, cam, gi_occ, sky_y):
+    def shard_fn(bits, sdf, gi, atlas, cam, gi_occ, sky_y, table):
         idx = jax.lax.axis_index("rays")
         y0 = (idx * slab_h).astype(jnp.int32)
         return pipeline.render_slab(bits, sdf, gi, atlas, cam, ecfg,
                                     y0=y0, slab_h=slab_h,
                                     include_gi=include_gi, gi_occ=gi_occ,
-                                    sky_y=sky_y)
+                                    sky_y=sky_y, table=table)
 
     if gi_occ is None:
         from rvgrt_tpu.world import gi_grid
@@ -63,15 +63,19 @@ def render_frame_sharded(bits, sdf, gi, atlas, cam: pipeline.CameraArrays,
     if sky_y is None:
         from rvgrt_tpu.world import voxel_grid
         sky_y = voxel_grid.sky_limit(bits, ecfg.world)
+    if table is None:
+        from rvgrt_tpu.trace import wavefront
+        table = wavefront.make_trace_table(bits, sdf, ecfg.world)
     rep = P()
     out_specs = pipeline.FrameOutputs(
         color=P("rays"), motion=P("rays"), depth=P("rays"),
         half_dist=P("rays"), half_shadow=P("rays"))
     fn = shard_map(shard_fn, mesh=mesh,
                    in_specs=(rep, rep, rep, rep,
-                             pipeline.CameraArrays(*([rep] * 8)), rep, rep),
+                             pipeline.CameraArrays(*([rep] * 8)), rep, rep,
+                             rep),
                    out_specs=out_specs)
-    return fn(bits, sdf, gi, atlas, cam, gi_occ, sky_y)
+    return fn(bits, sdf, gi, atlas, cam, gi_occ, sky_y, table)
 
 
 def update_gi_sharded(gi, bits, sdf, atlas, ecfg: EngineConfig, frame,

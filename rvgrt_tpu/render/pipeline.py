@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from rvgrt_tpu.config import EngineConfig
@@ -372,7 +373,7 @@ def gather_gi_image(res, gi, sdf, cfg, rcfg, lcfg, gi_occ=None):
 def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
                 ecfg: EngineConfig, y0, slab_h: int,
                 include_gi: bool = True, gi_occ=None,
-                sky_y=None) -> FrameOutputs:
+                sky_y=None, table=None) -> FrameOutputs:
     """Render rows [y0, y0 + slab_h) of the frame.
 
     The unit of pixel-parallel work: a full frame is one slab; a sharded
@@ -383,9 +384,11 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
     cfg, rcfg, lcfg = ecfg.world, ecfg.render, ecfg.lighting
     w, h = rcfg.width, slab_h
 
-    # the combined tracer gather table is built ONCE per frame (it is a
-    # ~260 MB materialization at 1024^3 scale; per-call rebuilds blow HBM)
-    table = wavefront.make_trace_table(bits, sdf, cfg)
+    # the combined tracer gather table should be built ONCE per world
+    # (brick repack + ~260 MB materialization at 1024^3 scale) and passed
+    # in; building here keeps ad-hoc callers working
+    if table is None:
+        table = wavefront.make_trace_table(bits, sdf, cfg)
 
     # ---- 1+2: half-res prepass (with halo) and conservative upsamples ----
     hy0 = jnp.asarray(y0, jnp.int32) // 2 - 1
@@ -409,30 +412,43 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
     sun = vm.splat(lcfg.sun_dir, hit.shape)
 
     # ---- 4a: water path (StateRender.cu:53-87) ----
+    # the two secondary traces are skipped entirely (lax.cond) when no
+    # water pixel is visible: even fully-parked wavefront traces cost
+    # ~100 ms at 720p in per-tile loop overhead
     is_water = hit & (res.py < _F32(lcfg.water_level))
-    wnormal = shading.water_normal(hpos, normal, cam.time, lcfg)
-    refl_dir = vm.reflect(d, wnormal)
-    rox = jnp.where(is_water, res.px, _F32(-10.0))
-    roy = jnp.where(is_water, res.py, _F32(-10.0))
-    roz = jnp.where(is_water, res.pz, _F32(-10.0))
-    refl = wavefront.trace(bits, sdf, cfg, rcfg, rox, roy, roz,
-                           refl_dir[0], refl_dir[1], refl_dir[2],
-                           jnp.full(hit.shape, 0.001, _F32), table=table,
-                           sky_y=sky_y)
-    refl_albedo = vm.v3(*atlas_mod.sample_texture(
-        atlas, refl.uv_u, refl.uv_v, refl.px, refl.py, refl.pz))
-    refl_shadow_hit = _shadow_trace(
-        bits, sdf, cfg, rcfg, is_water & refl.hit,
-        (refl.px, refl.py, refl.pz), (refl.nx, refl.ny, refl.nz), sun,
-        offset=1e-3, table=table, sky_y=sky_y)
-    refl_solid_col = vm.where(refl_shadow_hit,
-                              vm.scale(refl_albedo, 0.1), refl_albedo)
-    refl_col = vm.where(refl.hit, refl_solid_col,
-                        shading.sample_sky(refl_dir, lcfg))
-    n_dot_v = jnp.maximum(vm.dot(normal, vm.scale(d, -1.0)), 0.0)
-    fresnel = shading.fresnel_schlick(n_dot_v, _F32(lcfg.water_reflectivity))
-    water_col = vm.lerp(vm.splat(lcfg.water_color, hit.shape), refl_col,
-                        fresnel)
+
+    def water_branch(_):
+        wnormal = shading.water_normal(hpos, normal, cam.time, lcfg)
+        refl_dir = vm.reflect(d, wnormal)
+        rox = jnp.where(is_water, res.px, _F32(-10.0))
+        roy = jnp.where(is_water, res.py, _F32(-10.0))
+        roz = jnp.where(is_water, res.pz, _F32(-10.0))
+        refl = wavefront.trace(bits, sdf, cfg, rcfg, rox, roy, roz,
+                               refl_dir[0], refl_dir[1], refl_dir[2],
+                               jnp.full(hit.shape, 0.001, _F32), table=table,
+                               sky_y=sky_y)
+        refl_albedo = vm.v3(*atlas_mod.sample_texture(
+            atlas, refl.uv_u, refl.uv_v, refl.px, refl.py, refl.pz))
+        refl_shadow_hit = _shadow_trace(
+            bits, sdf, cfg, rcfg, is_water & refl.hit,
+            (refl.px, refl.py, refl.pz), (refl.nx, refl.ny, refl.nz), sun,
+            offset=1e-3, table=table, sky_y=sky_y)
+        refl_solid_col = vm.where(refl_shadow_hit,
+                                  vm.scale(refl_albedo, 0.1), refl_albedo)
+        refl_col = vm.where(refl.hit, refl_solid_col,
+                            shading.sample_sky(refl_dir, lcfg))
+        n_dot_v = jnp.maximum(vm.dot(normal, vm.scale(d, -1.0)), 0.0)
+        fresnel = shading.fresnel_schlick(n_dot_v,
+                                          _F32(lcfg.water_reflectivity))
+        return vm.lerp(vm.splat(lcfg.water_color, hit.shape), refl_col,
+                       fresnel)
+
+    def no_water(_):
+        z = jnp.zeros_like(res.px)
+        return (z, z, z)
+
+    water_col = jax.lax.cond(jnp.any(is_water), water_branch, no_water,
+                             None)
 
     # ---- 4b: solid path (StateRender.cu:88-131) ----
     albedo = vm.v3(*atlas_mod.sample_texture(atlas, res.uv_u, res.uv_v,
@@ -480,8 +496,9 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
 
 def render_frame(bits, sdf, gi, atlas, cam: CameraArrays,
                  ecfg: EngineConfig, include_gi: bool = True,
-                 gi_occ=None, sky_y=None) -> FrameOutputs:
+                 gi_occ=None, sky_y=None, table=None) -> FrameOutputs:
     """Full frame = one slab covering every row."""
     return render_slab(bits, sdf, gi, atlas, cam, ecfg,
                        y0=jnp.int32(0), slab_h=ecfg.render.height,
-                       include_gi=include_gi, gi_occ=gi_occ, sky_y=sky_y)
+                       include_gi=include_gi, gi_occ=gi_occ, sky_y=sky_y,
+                       table=table)

@@ -87,8 +87,13 @@ def trace_cone(px, py, pz, dx, dy, dz, gi, sdf, cfg: WorldConfig,
 
     # varying-typed zeros (see wavefront.trace) for shard_map compatibility
     zf = px * _F32(0.0) + dx * _F32(0.0)
-    init = (zf, zf, zf, zf, zf + _F32(lcfg.gi_step_size * 2.0))
-    acc_r, acc_g, acc_b, _, _ = jax.lax.fori_loop(0, steps, body, init)
+    carry = (zf, zf, zf, zf, zf + _F32(lcfg.gi_step_size * 2.0))
+    # unrolled: at the strided GI resolution each iteration is tiny, and
+    # 120 sequential device-loop iterations cost more in loop latency than
+    # in gathers
+    for _ in range(steps):
+        carry = body(None, carry)
+    acc_r, acc_g, acc_b, _, _ = carry
     return acc_r, acc_g, acc_b
 
 
@@ -127,19 +132,17 @@ def gather_gi(hit_pos, normal, gi, sdf, cfg: WorldConfig,
     """6-cone VCT gather, averaged (StateRender.cu:101-121).  Returns the
     *unmodulated* indirect light (caller multiplies by albedo*strength).
 
-    The 6 cones run as a ``lax.scan`` over stacked directions - one compiled
-    cone-march body instead of six inlined copies."""
+    The 6 cone marches are fully unrolled: at the strided GI resolution
+    the per-step arrays are small enough that device loop latency, not the
+    gathers, dominates a lax.scan/fori_loop formulation."""
     dirs = cone_directions(normal)
-    ds = jnp.stack([jnp.stack(jnp.broadcast_arrays(*d), 0) for d in dirs], 0)
-
-    def step(acc, d):
+    zero = hit_pos[0] * _F32(0.0) + normal[0] * _F32(0.0)
+    tr, tg, tb = zero, zero, zero
+    for d in dirs:  # unrolled (see trace_cone): loop latency > gather cost
         r, g, b = trace_cone(hit_pos[0], hit_pos[1], hit_pos[2],
                              d[0], d[1], d[2], gi, sdf, cfg, lcfg,
                              cone_table=cone_table)
-        return (acc[0] + r, acc[1] + g, acc[2] + b), None
-
-    zero = hit_pos[0] * _F32(0.0) + normal[0] * _F32(0.0)
-    (tr, tg, tb), _ = jax.lax.scan(step, (zero, zero, zero), ds)
+        tr, tg, tb = tr + r, tg + g, tb + b
     inv = _F32(1.0 / lcfg.num_cones)
     return tr * inv, tg * inv, tb * inv
 

@@ -94,16 +94,21 @@ class TraceResult(NamedTuple):
 
 def make_trace_table(bits: jax.Array, sdf: jax.Array,
                      cfg: WorldConfig) -> jax.Array:
-    """Combined gather table: [occupancy words | SDF packed 4 cells/word].
+    """Combined gather table: [brick occupancy words | SDF 4 cells/word].
 
-    Built once per world (or CSE'd inside a jitted frame); lets every tracer
-    superstep be a single uint32 gather regardless of lane phase.
+    Built once per world (pass it through per-frame calls - the brick
+    repack is not free); lets every tracer superstep be a single uint32
+    gather regardless of lane phase.  Occupancy words are 4x2x4 bricks
+    (``voxel_grid.to_brick_words``) so one DDA gather serves several
+    sub-steps.
     """
+    from rvgrt_tpu.world import voxel_grid
+
     # strided 1-D slices, NOT reshape(-1, 4): a (N, 4) array pads its
     # trailing dim to 128 lanes on TPU (16 GB of padding at 1024^3 scale)
     s = sdf.astype(_U32)
     packed = (s[0::4] | (s[1::4] << 8) | (s[2::4] << 16) | (s[3::4] << 24))
-    return jnp.concatenate([bits, packed])
+    return jnp.concatenate([voxel_grid.to_brick_words(bits, cfg), packed])
 
 
 def _sdf_word_index(cfg: WorldConfig, bits_len: int, vx, vy, vz):
@@ -117,16 +122,17 @@ def _sdf_word_index(cfg: WorldConfig, bits_len: int, vx, vy, vz):
     return bits_len + (cidx >> 2), (cidx & 3) << 3
 
 
-def _bits_word_index(cfg: WorldConfig, vx, vy, vz):
-    """Combined-table index + bit position for an occupancy lookup
-    (IsSolid/toIndex wrap semantics, cumath.cuh:33-45)."""
+def _brick_word_index(cfg: WorldConfig, vx, vy, vz):
+    """Combined-table index + bit position for an occupancy lookup in the
+    4x2x4 brick layout (wrap semantics match IsSolid/toIndex,
+    cumath.cuh:33-45: coords wrap at the power-of-two world dims)."""
     x = vx & (cfg.size_x - 1)
     y = vy & (cfg.size_y - 1)
     z = vz & (cfg.size_z - 1)
-    wi = ((x >> 5)
-          | (y << (cfg.shift_x - 5))
-          | (z << (cfg.shift_x + cfg.shift_y - 5)))
-    return wi, x & 31
+    wi = ((x >> 2)
+          | ((y >> 1) << (cfg.shift_x - 2))
+          | ((z >> 2) << (cfg.shift_x - 2 + cfg.shift_y - 1)))
+    return wi, (x & 3) | ((y & 1) << 2) | ((z & 3) << 3)
 
 
 def _pick_tile_count(n: int, target_size: int, min_size: int,
@@ -291,12 +297,11 @@ def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
         qvy = jnp.where(in_sphere, jnp.floor(s["py"]).astype(_I32), s["iy"])
         qvz = jnp.where(in_sphere, jnp.floor(s["pz"]).astype(_I32), s["iz"])
         widx_sdf, bytepos = _sdf_word_index(cfg, bits_len, qvx, qvy, qvz)
-        widx_bit, bitpos = _bits_word_index(cfg, s["ix"], s["iy"], s["iz"])
+        widx_bit, _ = _brick_word_index(cfg, s["ix"], s["iy"], s["iz"])
         widx = jnp.where(sph_or_probe, widx_sdf, widx_bit)
         widx = jnp.clip(widx, 0, table_len - 1)
         word = jnp.take(table, widx, mode="clip")
         dist = ((word >> bytepos.astype(_U32)) & _U32(0xFF)).astype(_I32)
-        solid = ((word >> bitpos.astype(_U32)) & _U32(1)) != 0
 
         ns = dict(s)
         nflags = flags
@@ -354,43 +359,72 @@ def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
         nflags = jnp.where(no_jump, nflags | (1 << _PR_SH), nflags)
 
         # ================= DDA action superstep =================
-        ns["its"] = jnp.where(action_turn, ns["its"] + 1, ns["its"])
-
-        # bounds check (lines 144-147)
-        dda_oob = action_turn & (
-            (s["ix"] < 0) | (s["iy"] < 0) | (s["iz"] < 0)
-            | (s["ix"] >= size_x) | (s["iy"] >= size_y)
-            | (s["iz"] >= size_z))
-        nflags = jnp.where(dda_oob, _set(nflags, _PH_SH, _PH_W, PHASE_MISS),
+        # The gathered word is a 4x2x4 occupancy brick: up to dda_substeps
+        # reference loop iterations (lines 123-199) run against it on the
+        # VPU before the next gather.  A lane stops sub-stepping when it
+        # hits, goes OOB, exhausts the budget, reaches a probe boundary
+        # (i % 8 == 7, line 127), or leaves the brick.
+        l_ix, l_iy, l_iz = s["ix"], s["iy"], s["iz"]
+        l_tmx, l_tmy, l_tmz = s["tmx"], s["tmy"], s["tmz"]
+        l_mask = _get(flags, _MK_SH, _MK_W)
+        l_dda = dda_i
+        l_its = ns["its"]
+        false = action_turn & False
+        hit_acc, miss_acc, stepped = false, false, false
+        act = action_turn
+        for _k in range(max(rcfg.dda_substeps, 1)):
+            # loop-top its++ (line 124)
+            l_its = jnp.where(act, l_its + 1, l_its)
+            # bounds check (lines 144-147)
+            oob_k = act & ((l_ix < 0) | (l_iy < 0) | (l_iz < 0)
+                           | (l_ix >= size_x) | (l_iy >= size_y)
+                           | (l_iz >= size_z))
+            miss_acc |= oob_k
+            act &= ~oob_k
+            # solid hit (lines 149-168): freeze; payload comes post-loop
+            _, bitpos_k = _brick_word_index(cfg, l_ix, l_iy, l_iz)
+            solid_k = ((word >> bitpos_k.astype(_U32)) & _U32(1)) != 0
+            hit_k = act & solid_k
+            hit_acc |= hit_k
+            act &= ~hit_k
+            # branchless axis step (lines 172-192)
+            step_x = act & (l_tmx < l_tmy) & (l_tmx < l_tmz)
+            step_y = act & ~step_x & (l_tmy < l_tmz)
+            step_z = act & ~step_x & ~step_y
+            l_tmx = jnp.where(step_x, l_tmx + ddx, l_tmx)
+            l_tmy = jnp.where(step_y, l_tmy + ddy, l_tmy)
+            l_tmz = jnp.where(step_z, l_tmz + ddz, l_tmz)
+            l_ix = jnp.where(step_x, l_ix + stx, l_ix)
+            l_iy = jnp.where(step_y, l_iy + sty, l_iy)
+            l_iz = jnp.where(step_z, l_iz + stz, l_iz)
+            l_mask = jnp.where(step_x, MASK_X,
+                               jnp.where(step_y, MASK_Y,
+                                         jnp.where(step_z, MASK_Z, l_mask)))
+            stepped |= act
+            l_dda = jnp.where(act, l_dda + 1, l_dda)
+            # budget exhausted without a jump -> miss (loop end, line 199)
+            bud = act & (l_dda >= rcfg.max_dda_steps)
+            miss_acc |= bud
+            act &= ~bud
+            if _k + 1 < rcfg.dda_substeps:
+                due = (l_dda & probe_mask) == probe_mask
+                nwi, _ = _brick_word_index(cfg, l_ix, l_iy, l_iz)
+                act &= ~due & (nwi == widx_bit)
+        ns["ix"] = jnp.where(action_turn, l_ix, ns["ix"])
+        ns["iy"] = jnp.where(action_turn, l_iy, ns["iy"])
+        ns["iz"] = jnp.where(action_turn, l_iz, ns["iz"])
+        ns["tmx"] = jnp.where(action_turn, l_tmx, ns["tmx"])
+        ns["tmy"] = jnp.where(action_turn, l_tmy, ns["tmy"])
+        ns["tmz"] = jnp.where(action_turn, l_tmz, ns["tmz"])
+        ns["its"] = l_its
+        nflags = jnp.where(action_turn,
+                           _set(_set(nflags, _MK_SH, _MK_W, l_mask),
+                                _DD_SH, _DD_W, l_dda), nflags)
+        nflags = jnp.where(stepped, nflags & ~(1 << _PR_SH), nflags)
+        nflags = jnp.where(hit_acc, _set(nflags, _PH_SH, _PH_W, PHASE_HIT),
                            nflags)
-        live = action_turn & ~dda_oob
-
-        # solid hit (lines 149-168): freeze state; payload comes post-loop
-        do_hit = live & solid
-        nflags = jnp.where(do_hit, _set(nflags, _PH_SH, _PH_W, PHASE_HIT),
+        nflags = jnp.where(miss_acc, _set(nflags, _PH_SH, _PH_W, PHASE_MISS),
                            nflags)
-        live &= ~do_hit
-
-        # branchless axis step (lines 172-192)
-        step_x = live & (s["tmx"] < s["tmy"]) & (s["tmx"] < s["tmz"])
-        step_y = live & ~step_x & (s["tmy"] < s["tmz"])
-        step_z = live & ~step_x & ~step_y
-        ns["tmx"] = jnp.where(step_x, s["tmx"] + ddx, ns["tmx"])
-        ns["tmy"] = jnp.where(step_y, s["tmy"] + ddy, ns["tmy"])
-        ns["tmz"] = jnp.where(step_z, s["tmz"] + ddz, ns["tmz"])
-        ns["ix"] = jnp.where(step_x, s["ix"] + stx, ns["ix"])
-        ns["iy"] = jnp.where(step_y, s["iy"] + sty, ns["iy"])
-        ns["iz"] = jnp.where(step_z, s["iz"] + stz, ns["iz"])
-        nmask = jnp.where(step_x, MASK_X,
-                          jnp.where(step_y, MASK_Y, MASK_Z))
-        nflags = jnp.where(live, _set(nflags, _MK_SH, _MK_W, nmask), nflags)
-        new_i = dda_i + 1
-        nflags = jnp.where(live,
-                           _set(nflags, _DD_SH, _DD_W, new_i)
-                           & ~(1 << _PR_SH), nflags)
-        # DDA budget exhausted without a jump -> miss (loop end, line 199)
-        nflags = jnp.where(live & (new_i >= rcfg.max_dda_steps),
-                           _set(nflags, _PH_SH, _PH_W, PHASE_MISS), nflags)
 
         ns["flags"] = nflags
         ns["step"] = s["step"] + 1

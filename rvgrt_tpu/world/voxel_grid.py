@@ -98,6 +98,38 @@ def is_solid(bits: jax.Array, cfg: WorldConfig, x, y, z):
     return ((words >> bit) & _U32(1)).astype(jnp.bool_)
 
 
+# Brick shape for the tracer's DDA gather table: each uint32 word holds a
+# 4x2x4 (x,y,z) neighborhood instead of the storage layout's 32x1x1 x-run.
+# A DDA step moves to an adjacent cell, so one brick word serves ~3-4
+# consecutive steps (VPU bit tests) before a new gather is needed - and
+# random gathers are the entire tracer cost on TPU (PERF.md).
+BRICK_X, BRICK_Y, BRICK_Z = 4, 2, 4
+
+
+def to_brick_words(bits: jax.Array, cfg: WorldConfig) -> jax.Array:
+    """Repack canonical x-run occupancy words into 4x2x4 brick words.
+
+    Brick word index = (x>>2) | (y>>1) << (sx-2) | (z>>2) << (sx-2+sy-1);
+    bit within word = (x&3) | (y&1)<<2 | (z&3)<<3.  Same total size as the
+    canonical packing (num_voxels / 32 uint32 words).  Built once per world.
+    """
+    zc, yc, xc = cfg.size_z // BRICK_Z, cfg.size_y // BRICK_Y, \
+        cfg.size_x // BRICK_X
+    w = (_U32(1) << jnp.arange(32, dtype=_U32)).reshape(
+        BRICK_Z, 1, BRICK_Y, 1, BRICK_X)  # 1 << (bx | by<<2 | bz<<3)
+    vol = bits.reshape(cfg.size_z, cfg.size_y, cfg.size_x // 32)
+
+    def chunk(zw):
+        # one z-group of BRICK_Z planes -> (yc, xc) brick words
+        b = ((zw[..., None] >> jnp.arange(32, dtype=_U32)) & _U32(1))
+        b = b.reshape(BRICK_Z, yc, BRICK_Y, xc, BRICK_X)
+        return (b * w).sum(axis=(0, 2, 4), dtype=_U32)
+
+    out = jax.lax.map(chunk, vol.reshape(zc, BRICK_Z, cfg.size_y,
+                                         cfg.size_x // 32))
+    return out.reshape(-1)
+
+
 def sky_limit(bits: jax.Array, cfg: WorldConfig) -> jax.Array:
     """1 + the highest solid voxel's y (f32 scalar), for the tracer's
     sky early-exit (``wavefront.trace(sky_y=...)``): an upward ray at or
