@@ -42,6 +42,9 @@ def main():
     height = int(os.environ.get("BENCH_H", "1080"))
     n_frames = int(os.environ.get("BENCH_FRAMES", "8"))
     include_gi = os.environ.get("BENCH_GI", "0") == "1"
+    # stage-5 operating point: render low-res + learned 3x upscale
+    # (the reference's own 1280x800 -> DLSS -> 3840x2400 pipeline shape)
+    upscale = os.environ.get("BENCH_UPSCALE", "0") == "1"
 
     ecfg = EngineConfig(
         world=WorldConfig().with_cube(cube),
@@ -88,15 +91,39 @@ def main():
 
     cams = [pan_cam(i) for i in range(n_frames + 2)]
 
-    render = jax.jit(lambda b, s, g, a, cam, occ, sky, tbl:
-                     pipeline.render_frame(
-                         b, s, g, a, cam, ecfg, include_gi=include_gi,
-                         gi_occ=occ, sky_y=sky, table=tbl))
+    up_net = up_params = history = None
+    if upscale:
+        from rvgrt_tpu.upscale import model as up_model
+
+        up_net, up_params = up_model.init_params(
+            jax.random.PRNGKey(0), height, width)
+        history = jnp.zeros((height * up_model.SCALE,
+                             width * up_model.SCALE, 3), jnp.float32)
+
+    def _render(b, s, g, a, cam, occ, sky, tbl, hist):
+        out = pipeline.render_frame(b, s, g, a, cam, ecfg,
+                                    include_gi=include_gi, gi_occ=occ,
+                                    sky_y=sky, table=tbl)
+        if upscale:
+            hi, _ = up_model.upscale(up_net, up_params, out.color,
+                                     out.motion, out.depth, cam.jitter,
+                                     hist)
+            return out._replace(color=hi)
+        return out
+
+    render = jax.jit(_render)
 
     def frame(cam_obj, prev_vp=None):
+        nonlocal_hist = frame.history
         cam = eng_mod.camera_arrays(cam_obj, jitter=(0.0, 0.0))
-        return render(world.bits, world.sdf, world.gi, world.atlas, cam,
-                      world.gi_occ, world.sky_y, world.trace_table)
+        out = render(world.bits, world.sdf, world.gi, world.atlas, cam,
+                     world.gi_occ, world.sky_y, world.trace_table,
+                     nonlocal_hist)
+        if upscale:
+            frame.history = out.color
+        return out
+
+    frame.history = history if upscale else jnp.zeros((1, 1, 3))
 
     def sync(out):
         # force a real device->host readback: block_until_ready alone can
@@ -132,8 +159,10 @@ def main():
     log(f"{n_frames} frames in {dt:.2f}s -> {fps:.2f} FPS, "
         f"{mrays:.1f} Mrays/s")
 
+    op = (f"{width}x{height}+3x upscale" if upscale
+          else f"{width}x{height}")
     print(json.dumps({
-        "metric": f"Mrays/s at {width}x{height} hybrid SDF+DDA trace "
+        "metric": f"Mrays/s at {op} hybrid SDF+DDA trace "
                   f"({2**cube}^3 world, gi={'on' if include_gi else 'off'}, "
                   f"single chip)",
         "value": round(mrays, 2),

@@ -93,6 +93,10 @@ def main(argv=None):
     p.add_argument("--no-gi", action="store_true")
     p.add_argument("--fly", action="store_true",
                    help="move forward + turn during the path")
+    p.add_argument("--upscale", default=None, metavar="PARAMS",
+                   help="run the learned 3x upscaler in the loop "
+                        "(path to trained params, or 'fresh' for "
+                        "randomly-initialized weights)")
     args = p.parse_args(argv)
 
     ecfg = tiny_config() if args.config == "tiny" else CONFIGS[args.config]()
@@ -110,11 +114,41 @@ def main(argv=None):
     import jax.numpy as jnp
     to_u8 = jax.jit(lambda c: (jnp.clip(c, 0, 1) * 255).astype(jnp.uint8))
     hit_frac = jax.jit(lambda d: (d < 1).mean())
+
+    up_step = history = None
+    if args.upscale:
+        from rvgrt_tpu.upscale import model as up_model
+
+        net = up_model.UpscalerNet()
+        if args.upscale == "fresh":
+            _, params = up_model.init_params(
+                jax.random.PRNGKey(0), ecfg.render.height, ecfg.render.width)
+        else:
+            from rvgrt_tpu.driver import checkpoint
+
+            params = checkpoint.load_params(args.upscale)
+        hh = ecfg.render.height * up_model.SCALE
+        hw = ecfg.render.width * up_model.SCALE
+
+        @jax.jit
+        def up_step(params, color, motion, depth, jitter, history):
+            out, _ = up_model.upscale(net, params, color, motion, depth,
+                                      jitter, history)
+            return out
+
+        history = jnp.zeros((hh, hw, 3), jnp.float32)
+
     for i in range(args.frames):
         inputs = InputState(move_z=1.0 if args.fly else 0.0,
                             mouse_dx=2.0 if args.fly else 0.0)
         out = eng.step(inputs)
-        img = np.asarray(to_u8(out.color))
+        if up_step is not None:
+            jitter = jnp.asarray(eng.character.ray_jitter_ndc(), jnp.float32)
+            history = up_step(params, out.color, out.motion, out.depth,
+                              jitter, history)
+            img = np.asarray(to_u8(history))
+        else:
+            img = np.asarray(to_u8(out.color))
         ms = avg.tick()
         if sink is not None:
             sink.push(img, i)

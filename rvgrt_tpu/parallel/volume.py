@@ -1,0 +1,224 @@
+"""Phase-3 scaling: voxel-volume sharding with a ray-handoff ring over ICI.
+
+For worlds beyond one chip's HBM (SURVEY.md §5.7/§7 phase 3), the voxel
+grid + SDF are sharded in z-slabs: each device holds only its slab's tracer
+gather table.  Rays are traced by the device that owns their current slab;
+a ray crossing a slab face retires as ``PHASE_EXIT_LO/HI`` in the wavefront
+tracer (``trace/wavefront.py``, ``z_edges``) and is handed to the z
+neighbor with one ``ppermute`` per direction per round - the ray-queue ring
+analogue of ring attention's block passing.  A ray's z progress is
+monotone (the DDA step sign never changes), so ``n_shards + 2`` rounds
+resolve every ray; terminal rays scatter their payload into a per-device
+result buffer that is ``psum``-reduced at the end.
+
+Differences vs single-device tracing (documented, tested):
+* a handed-off ray RESTARTS its sphere phase and iteration budgets in the
+  neighbor slab (the hybrid traversal is memoryless given a position, so
+  hit results match; the ``its`` counter is the sum over visited shards);
+* SDF values are sampled from the owning slab only, clamped at slab faces
+  (the stored distances were computed globally, so they remain valid
+  lower bounds inside the slab).
+
+This module is deliberately correctness-first: every device keeps capacity
+for the full ray set (camera rays all start in one slab), so compute is
+not yet load-balanced.  The world MEMORY is what this shards - the point
+for 2048^3+ streaming worlds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from rvgrt_tpu.config import RenderConfig, WorldConfig
+from rvgrt_tpu.trace import wavefront
+
+_F32 = jnp.float32
+_I32 = jnp.int32
+
+
+def local_config(cfg: WorldConfig, n_shards: int) -> WorldConfig:
+    """WorldConfig of one z-slab (power-of-two shard counts only)."""
+    lg = int(math.log2(n_shards))
+    assert 1 << lg == n_shards, n_shards
+    assert cfg.shift_z - lg >= 2, "slab must be >= one 4-deep brick"
+    return dataclasses.replace(cfg, shift_z=cfg.shift_z - lg)
+
+
+def build_shard_tables(bits: jax.Array, sdf: jax.Array, cfg: WorldConfig,
+                       mesh: Mesh, axis: str = "z") -> jax.Array:
+    """(n, local_table_len) stacked per-slab gather tables, sharded so each
+    device holds exactly its slab (the world-memory win)."""
+    n = mesh.shape[axis]
+    lcfg = local_config(cfg, n)
+    zs = cfg.size_z // n
+    vol = bits.reshape(cfg.size_z, cfg.size_y, cfg.size_x // 32)
+    svol = sdf.reshape(cfg.sdf_size_z, cfg.sdf_size_y, cfg.sdf_size_x)
+    czs = cfg.sdf_size_z // n
+    tables = [
+        wavefront.make_trace_table(
+            vol[i * zs:(i + 1) * zs].reshape(-1),
+            svol[i * czs:(i + 1) * czs].reshape(-1), lcfg)
+        for i in range(n)
+    ]
+    stacked = jnp.stack(tables)
+    return jax.device_put(stacked, NamedSharding(mesh, P(axis)))
+
+
+def _pack(valid, fields, capacity: int, id_sentinel: int):
+    """Stable-pack the ``valid`` lanes of ``fields`` into ``capacity``
+    slots; overflow lanes are dropped, empty slots get ``id_sentinel``
+    (fields[0] must be the ray id)."""
+    order = jnp.argsort(~valid)  # valid lanes first, stable
+    take = order[:capacity]
+    ok = valid[take]
+    out = [jnp.where(ok, fields[0][take], id_sentinel)]
+    out += [f[take] for f in fields[1:]]
+    return out, ok
+
+
+def trace_volume_sharded(tables: jax.Array, cfg: WorldConfig,
+                         rcfg: RenderConfig, mesh: Mesh,
+                         ox, oy, oz, dx, dy, dz, t0,
+                         sky_y=None, axis: str = "z",
+                         rounds: int | None = None) -> wavefront.TraceResult:
+    """Trace flat ray arrays against the z-slab-sharded world.
+
+    Inputs are replicated 1-D arrays of equal length N; returns a
+    TraceResult of replicated (N,) arrays (exit_dir always 0).
+    """
+    n = mesh.shape[axis]
+    lcfg = local_config(cfg, n)
+    slab = float(cfg.size_z // n)
+    rounds = (n + 2) if rounds is None else rounds
+    N = ox.shape[0]
+    cap = -(-N // 4096) * 4096  # trace buffers run as (cap/4096, 4096)
+    sentinel = cap  # out-of-range id -> scatter mode="drop" discards
+
+    def pad(a, fill):
+        return jnp.pad(a, (0, cap - N), constant_values=fill)
+
+    ids0 = pad(jnp.arange(N, dtype=_I32), sentinel)
+    rox, roy, roz = pad(ox, -10.0), pad(oy, -10.0), pad(oz, -10.0)
+    rdx, rdy, rdz = pad(dx, 1.0), pad(dy, 0.0), pad(dz, 0.0)
+    # the reference's fp16 start-distance quantization is applied ONCE to
+    # the caller's t0; handoff resume distances stay fp32 (re-quantizing
+    # them could round a resumed ray back across the slab face forever)
+    rt0 = pad(jnp.asarray(t0, _F32).astype(jnp.float16).astype(_F32), 0.0)
+
+    def shard_fn(tbl):
+        zi = jax.lax.axis_index(axis)
+        z0 = zi.astype(_F32) * _F32(slab)
+        is_first = zi == 0
+        is_last = zi == n - 1
+
+        # claim the rays whose march START lies in my slab (clamped: rays
+        # starting outside the world go to the nearest edge shard, whose
+        # z_edges flags turn them into the reference's OOB-start miss)
+        sz = roz + rt0 * rdz
+        owner = jnp.clip(jnp.floor(sz / _F32(slab)).astype(_I32), 0, n - 1)
+        my0 = (ids0 < sentinel) & (owner == zi)
+
+        fields0 = [ids0, rox, roy, roz, rdx, rdy, rdz, rt0,
+                   jnp.zeros_like(ids0)]  # trailing: accumulated its
+        packed, _ = _pack(my0, fields0, cap, sentinel)
+        # the scan carry becomes device-varying after the first ppermute;
+        # mark any still-replicated initial carry component varying to match
+        def _vary(f):
+            return f if axis in jax.typeof(f).vma \
+                else jax.lax.pcast(f, (axis,), to="varying")
+
+        packed = [_vary(f) for f in packed]
+
+        # zero-initialized so the final psum-merge across shards is a
+        # plain sum (each terminal ray is scattered by exactly one shard)
+        zeros_out = dict(
+            hit=jnp.zeros((cap,), _I32),
+            px=jnp.zeros((cap,), _F32), py=jnp.zeros((cap,), _F32),
+            pz=jnp.zeros((cap,), _F32),
+            nx=jnp.zeros((cap,), _F32), ny=jnp.zeros((cap,), _F32),
+            nz=jnp.zeros((cap,), _F32),
+            uv_u=jnp.zeros((cap,), _F32), uv_v=jnp.zeros((cap,), _F32),
+            its=jnp.zeros((cap,), _I32), t=jnp.zeros((cap,), _F32))
+
+        def round_body(carry, _):
+            fields, out = carry
+            rid, qox, qoy, qoz, qdx, qdy, qdz, qt, qits = fields
+            live = rid < sentinel
+            # park empty slots at an OOB start (retire in ~2 supersteps);
+            # t must be zeroed too or garbage t*dir can re-enter the world
+            pox = jnp.where(live, qox, -10.0)
+            poz = jnp.where(live, qoz - z0, -10.0)
+            pt = jnp.where(live, qt, 0.0)
+            shp = (-1, 4096)
+            res = wavefront.trace(
+                None, None, lcfg, rcfg,
+                pox.reshape(shp), qoy.reshape(shp), poz.reshape(shp),
+                qdx.reshape(shp), qdy.reshape(shp), qdz.reshape(shp),
+                pt.reshape(shp), table=tbl, sky_y=sky_y,
+                z_edges=(is_first, is_last), quantize_start_fp16=False)
+            res = jax.tree.map(lambda a: a.reshape(-1), res)
+
+            term = live & (res.exit_dir == 0)
+            sids = jnp.where(term, rid, sentinel)
+            tot_its = qits + res.its
+            upd = dict(
+                hit=res.hit.astype(_I32), px=res.px, py=res.py,
+                pz=jnp.where(res.hit, res.pz + z0, res.pz),
+                nx=res.nx, ny=res.ny, nz=res.nz,
+                uv_u=res.uv_u, uv_v=res.uv_v, its=tot_its, t=res.t)
+            out = {k: out[k].at[sids].set(upd[k], mode="drop")
+                   for k in out}
+
+            # hand off exits: global exit position -> resume t just past
+            # the slab face (guards fp ping-pong across the boundary)
+            ex_lo = live & (res.exit_dir < 0)
+            ex_hi = live & (res.exit_dir > 0)
+            gz = res.pz + z0
+            face = jnp.where(ex_hi, z0 + slab + 1e-3, z0 - 1e-3)
+            t_face = jnp.where(qdz != 0, (face - qoz) / qdz, 0.0)
+            t_exit = ((res.px - qox) * qdx + (res.py - qoy) * qdy
+                      + (gz - qoz) * qdz)
+            t_new = jnp.maximum(t_exit, t_face)
+            send = [rid, qox, qoy, qoz, qdx, qdy, qdz, t_new, tot_its]
+            lo_pkt, _ = _pack(ex_lo, send, cap, sentinel)
+            hi_pkt, _ = _pack(ex_hi, send, cap, sentinel)
+            down = [(i, (i - 1) % n) for i in range(n)]
+            up = [(i, (i + 1) % n) for i in range(n)]
+            recv_hi = [jax.lax.ppermute(f, axis, up) for f in hi_pkt]
+            recv_lo = [jax.lax.ppermute(f, axis, down) for f in lo_pkt]
+            # wrap-around slots carry no valid rays (edge shards convert
+            # boundary exits to misses), but mask them anyway
+            merged_valid = jnp.concatenate(
+                [recv_hi[0] < sentinel, recv_lo[0] < sentinel])
+            merged = [jnp.concatenate([a, b])
+                      for a, b in zip(recv_hi, recv_lo)]
+            fields, _ = _pack(merged_valid, merged, cap, sentinel)
+            return (fields, out), None
+
+        zeros_out = {k: _vary(v) for k, v in zeros_out.items()}
+        (fields, out), _ = jax.lax.scan(round_body, (packed, zeros_out),
+                                        None, length=rounds)
+        return {k: jax.lax.psum(v, axis) for k, v in out.items()}
+
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(axis),),
+                   out_specs={k: P() for k in
+                              ("hit", "px", "py", "pz", "nx", "ny", "nz",
+                               "uv_u", "uv_v", "its", "t")})
+    out = fn(tables)
+    miss = out["hit"][:N] == 0
+    fix = lambda v: v[:N]
+    return wavefront.TraceResult(
+        hit=fix(out["hit"]) != 0,
+        px=jnp.where(miss, wavefront.MISS_POS, fix(out["px"])),
+        py=jnp.where(miss, wavefront.MISS_POS, fix(out["py"])),
+        pz=jnp.where(miss, wavefront.MISS_POS, fix(out["pz"])),
+        nx=fix(out["nx"]), ny=fix(out["ny"]), nz=fix(out["nz"]),
+        uv_u=fix(out["uv_u"]), uv_v=fix(out["uv_v"]),
+        its=fix(out["its"]), t=fix(out["t"]),
+        exit_dir=jnp.zeros((N,), _I32))

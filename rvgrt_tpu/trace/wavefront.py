@@ -51,6 +51,10 @@ PHASE_SPHERE = 0
 PHASE_DDA = 1
 PHASE_MISS = 2
 PHASE_HIT = 3
+# volume-sharded tracing only (z_edges given): the ray left this device's
+# z-slab through the low/high face and must be handed to the neighbor
+PHASE_EXIT_LO = 4
+PHASE_EXIT_HI = 5
 
 MASK_X = 0
 MASK_Y = 1
@@ -61,12 +65,12 @@ MISS_POS = -500.0
 OOB_POS = -100.0
 
 # flags word layout (LSB first)
-_PH_SH, _PH_W = 0, 2        # phase
-_MK_SH, _MK_W = 2, 2        # mask
-_MJ_SH, _MJ_W = 4, 3        # major iteration
-_SP_SH, _SP_W = 7, 7        # sphere step counter
-_DD_SH, _DD_W = 14, 8       # DDA step counter
-_PR_SH = 22                 # probed flag
+_PH_SH, _PH_W = 0, 3        # phase
+_MK_SH, _MK_W = 3, 2        # mask
+_MJ_SH, _MJ_W = 5, 3        # major iteration
+_SP_SH, _SP_W = 8, 7        # sphere step counter
+_DD_SH, _DD_W = 15, 8       # DDA step counter
+_PR_SH = 23                 # probed flag
 
 
 def _get(flags, sh, w):
@@ -90,6 +94,10 @@ class TraceResult(NamedTuple):
     uv_v: jax.Array
     its: jax.Array   # iteration count (i32) - the Mrays/s work metric
     t: jax.Array     # ray parameter of the hit (f32; 0 on miss)
+    # volume-sharded tracing only: -1/+1 = ray left the local z-slab
+    # through the low/high face (px/py/pz then hold the exit position,
+    # local coords); 0 otherwise
+    exit_dir: jax.Array = 0
 
 
 def make_trace_table(bits: jax.Array, sdf: jax.Array,
@@ -164,7 +172,7 @@ def trace(bits: jax.Array, sdf: jax.Array, cfg: WorldConfig,
           quantize_start_fp16: bool = True,
           table: jax.Array | None = None,
           row_tiles: int | None = None,
-          sky_y=None) -> TraceResult:
+          sky_y=None, z_edges=None) -> TraceResult:
     """Trace rays (any common broadcast shape) through the world.
 
     ``t_start`` mirrors the reference's ``half distance`` parameter: the
@@ -176,6 +184,12 @@ def trace(bits: jax.Array, sdf: jax.Array, cfg: WorldConfig,
     of marching to the world boundary - image-identical to the reference
     (those rays miss either way; only the ``its`` work counter shrinks).
     Dominant win for sun-shadow and GI sun-visibility rays.
+
+    ``z_edges``: volume-sharded tracing (parallel/volume.py).  A pair of
+    traced bool scalars (is_first, is_last): leaving the world in -z/+z is
+    a real miss only on the first/last z-slab shard; elsewhere the ray
+    retires as PHASE_EXIT_LO/HI with its exit position in the payload, to
+    be handed to the neighbor shard over ICI.
     """
     if table is None:
         table = make_trace_table(bits, sdf, cfg)
@@ -208,19 +222,21 @@ def trace(bits: jax.Array, sdf: jax.Array, cfg: WorldConfig,
         res = jax.lax.map(
             lambda t: _trace_impl(table, cfg, rcfg, *t,
                                   quantize_start_fp16=quantize_start_fp16,
-                                  sky_y=sky_y),
+                                  sky_y=sky_y, z_edges=z_edges),
             tiled)
         out = tuple(
             r.reshape(ty, tx, th, tw).transpose(0, 2, 1, 3).reshape(h, w)
             for r in res)
         return TraceResult(*out)
     return _trace_impl(table, cfg, rcfg, *args,
-                       quantize_start_fp16=quantize_start_fp16, sky_y=sky_y)
+                       quantize_start_fp16=quantize_start_fp16, sky_y=sky_y,
+                       z_edges=z_edges)
 
 
 def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
                 ox, oy, oz, dx, dy, dz, t0,
-                quantize_start_fp16: bool, sky_y=None) -> TraceResult:
+                quantize_start_fp16: bool, sky_y=None,
+                z_edges=None) -> TraceResult:
     if quantize_start_fp16:
         t0 = t0.astype(jnp.float16).astype(_F32)
 
@@ -285,6 +301,22 @@ def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
             in_sphere &= ~sky_out
             flags = jnp.where(sky_out,
                               _set(flags, _PH_SH, _PH_W, PHASE_MISS), flags)
+        if z_edges is not None:
+            # interior slab face -> hand the ray to the z neighbor instead
+            # of missing; x/y (or edge-shard z) overflow stays a real miss
+            xy_in = ((s["px"] >= 0) & (s["py"] >= 0)
+                     & (s["px"] < size_x) & (s["py"] < size_y))
+            exit_lo = in_sphere & xy_in & (s["pz"] < 0) & ~z_edges[0]
+            exit_hi = in_sphere & xy_in & (s["pz"] >= size_z) & ~z_edges[1]
+            sp_exit = exit_lo | exit_hi
+            in_sphere &= ~sp_exit
+            flags = jnp.where(exit_lo, _set(flags, _PH_SH, _PH_W,
+                                            PHASE_EXIT_LO), flags)
+            flags = jnp.where(exit_hi, _set(flags, _PH_SH, _PH_W,
+                                            PHASE_EXIT_HI), flags)
+            # sphere exits carry their position directly (mask = NONE)
+            flags = jnp.where(sp_exit,
+                              _set(flags, _MK_SH, _MK_W, MASK_NONE), flags)
         in_dda = phase == PHASE_DDA
         # probe superstep: reference's (i & 7) == 7 SDF re-check (line 127)
         probe_turn = in_dda & ((dda_i & probe_mask) == probe_mask) \
@@ -371,14 +403,25 @@ def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
         l_its = ns["its"]
         false = action_turn & False
         hit_acc, miss_acc, stepped = false, false, false
+        dda_exit_lo, dda_exit_hi = false, false
         act = action_turn
         for _k in range(max(rcfg.dda_substeps, 1)):
             # loop-top its++ (line 124)
             l_its = jnp.where(act, l_its + 1, l_its)
-            # bounds check (lines 144-147)
+            # bounds check (lines 144-147); in volume-sharded mode an
+            # interior z face is a handoff, not a miss
             oob_k = act & ((l_ix < 0) | (l_iy < 0) | (l_iz < 0)
                            | (l_ix >= size_x) | (l_iy >= size_y)
                            | (l_iz >= size_z))
+            if z_edges is not None:
+                xy_in = ((l_ix >= 0) & (l_iy >= 0)
+                         & (l_ix < size_x) & (l_iy < size_y))
+                ex_lo = act & xy_in & (l_iz < 0) & ~z_edges[0]
+                ex_hi = act & xy_in & (l_iz >= size_z) & ~z_edges[1]
+                dda_exit_lo |= ex_lo
+                dda_exit_hi |= ex_hi
+                oob_k &= ~(ex_lo | ex_hi)
+                act &= ~(ex_lo | ex_hi)
             miss_acc |= oob_k
             act &= ~oob_k
             # solid hit (lines 149-168): freeze; payload comes post-loop
@@ -425,6 +468,13 @@ def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
                            nflags)
         nflags = jnp.where(miss_acc, _set(nflags, _PH_SH, _PH_W, PHASE_MISS),
                            nflags)
+        if z_edges is not None:
+            nflags = jnp.where(dda_exit_lo,
+                               _set(nflags, _PH_SH, _PH_W, PHASE_EXIT_LO),
+                               nflags)
+            nflags = jnp.where(dda_exit_hi,
+                               _set(nflags, _PH_SH, _PH_W, PHASE_EXIT_HI),
+                               nflags)
 
         ns["flags"] = nflags
         ns["step"] = s["step"] + 1
@@ -477,15 +527,27 @@ def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
     uvv = jnp.where(m == MASK_X, uvv_x,
                     jnp.where(m == MASK_Y, hz - fz_,
                               jnp.where(m == MASK_Z, hy - fy_, 0.0)))
-    out_px = jnp.where(hit, hx, _F32(MISS_POS))
-    out_py = jnp.where(hit, hy, _F32(MISS_POS))
-    out_pz = jnp.where(hit, hz, _F32(MISS_POS))
+    if z_edges is not None:
+        # exit lanes reuse the hit-position reconstruction: the entry
+        # point of the first out-of-slab cell (DDA) or the sphere position
+        # (mask forced to NONE at exit time); t likewise
+        exit_lo = phase == PHASE_EXIT_LO
+        exit_hi = phase == PHASE_EXIT_HI
+        exited = exit_lo | exit_hi
+        keep = hit | exited
+        exit_dir = jnp.where(exit_lo, -1, jnp.where(exit_hi, 1, 0))
+    else:
+        keep = hit
+        exit_dir = jnp.zeros_like(final["its"])
+    out_px = jnp.where(keep, hx, _F32(MISS_POS))
+    out_py = jnp.where(keep, hy, _F32(MISS_POS))
+    out_pz = jnp.where(keep, hz, _F32(MISS_POS))
     t_out = jnp.where(
-        hit,
+        keep,
         (out_px - ox) * dx + (out_py - oy) * dy + (out_pz - oz) * dz,
         _F32(0.0))
     return TraceResult(
         hit=hit, px=out_px, py=out_py, pz=out_pz,
         nx=nx, ny=ny, nz=nz,
         uv_u=jnp.where(hit, uvu, 0.0), uv_v=jnp.where(hit, uvv, 0.0),
-        its=final["its"], t=t_out)
+        its=final["its"], t=t_out, exit_dir=exit_dir)
