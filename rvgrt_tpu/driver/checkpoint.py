@@ -90,9 +90,10 @@ def load_world(path: str, ecfg: EngineConfig):
             sdf=sdf,
             gi=jnp.asarray(d["gi"]),
             atlas=jnp.asarray(d["atlas"]),
-            # derived, not persisted
-            gi_occ=jax.jit(gi_grid.build_occlusion,
-                           static_argnums=1)(sdf, ecfg.world),
+            # derived, not persisted; only the fused cone path consumes it
+            gi_occ=(jax.jit(gi_grid.build_occlusion,
+                            static_argnums=1)(sdf, ecfg.world)
+                    if ecfg.render.gi_fused_cone else None),
             sky_y=jax.jit(voxel_grid.sky_limit,
                           static_argnums=1)(bits, ecfg.world),
             trace_table=jax.jit(wavefront.make_trace_table,

@@ -47,19 +47,33 @@ def tiny_config() -> EngineConfig:
 
 def find_interesting_column(eng: Engine):
     """(x, z, top_y) of a tall-terrain column - a view with actual content
-    (ocean-only views defeat visual tests and upscaler training)."""
+    (ocean-only views defeat visual tests and upscaler training).
+
+    Columns are required to leave sky headroom (top <= size_y - 10, so the
+    spawn isn't clamped inside rock) and scored with an interior-margin
+    bonus: a world-rim spawn can look straight out of the grid and render
+    pure sky."""
     cfg = eng.ecfg.world
     bits_np = np.asarray(eng.world.bits).reshape(
         cfg.size_z, cfg.size_y, cfg.size_x // 32)
     # subsample columns for speed
     zs = np.arange(0, cfg.size_z, max(1, cfg.size_z // 64))
     best = (cfg.size_x // 2, cfg.size_z // 2, 30.0)
+    best_score = -1e9
+    max_top = cfg.size_y - 10
+    xs = np.arange(cfg.size_x)
     for z in zs:
         plane = np.asarray(vg.unpack_bits_x(bits_np[z]))  # (Y, X)
         heights = (cfg.size_y - 1
                    - np.argmax(plane[::-1], axis=0)) * plane.any(axis=0)
-        x = int(heights.argmax())
-        if heights[x] > best[2]:
+        edge = np.minimum.reduce([
+            xs, cfg.size_x - 1 - xs,
+            np.full_like(xs, min(z, cfg.size_z - 1 - int(z)))])
+        margin = np.minimum(edge / max(cfg.size_x, 1), 0.15)
+        score = np.where(heights <= max_top, heights + 100.0 * margin, -1e9)
+        x = int(score.argmax())
+        if score[x] > best_score and heights[x] > 30:
+            best_score = float(score[x])
             best = (x, int(z), float(heights[x]))
     return best
 
@@ -80,7 +94,14 @@ def spawn_above_terrain(eng: Engine, x: int | None = None,
     y = min(top + clearance, cfg.size_y - 2.0)
     eng.character.position = np.array([x, y, z], np.float32)
     eng.character.pitch = -math.pi - 0.5
-    eng.character.yaw = 0.8
+    # aim at the world center: a fixed yaw from a corner spawn can point
+    # straight out of the world and render pure sky.  dir_from_sphere gives
+    # horizontal dir = cos(pitch) * (-sin yaw, cos yaw) with cos(pitch) < 0
+    # over the legal pitch band, so yaw = atan2(-dx, dz).
+    dx_c = cfg.size_x / 2.0 - x
+    dz_c = cfg.size_z / 2.0 - z
+    if abs(dx_c) + abs(dz_c) > 1e-3:
+        eng.character.yaw = math.atan2(-dx_c, dz_c)
     return eng.character.position
 
 

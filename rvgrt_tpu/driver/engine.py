@@ -72,8 +72,12 @@ def build_world(ecfg: EngineConfig, verbose: bool = True,
             gi.block_until_ready()
     else:
         gi = gi_grid.zeros(cfg)
-    gi_occ = jax.jit(gi_grid.build_occlusion,
-                     static_argnums=1)(sdf, cfg)
+    # the occlusion mip only feeds the fused cone table (off by default);
+    # don't spend the build (or HBM) unless that path is on
+    gi_occ = None
+    if ecfg.render.gi_fused_cone:
+        gi_occ = jax.jit(gi_grid.build_occlusion,
+                         static_argnums=1)(sdf, cfg)
     return World(bits=bits, sdf=sdf, gi=gi, atlas=atlas, gi_occ=gi_occ,
                  sky_y=sky_y, trace_table=table)
 

@@ -57,7 +57,7 @@ def render_frame_sharded(bits, sdf, gi, atlas, cam: pipeline.CameraArrays,
                                     include_gi=include_gi, gi_occ=gi_occ,
                                     sky_y=sky_y, table=table)
 
-    if gi_occ is None:
+    if gi_occ is None and ecfg.render.gi_fused_cone:
         from rvgrt_tpu.world import gi_grid
         gi_occ = gi_grid.build_occlusion(sdf, ecfg.world)
     if sky_y is None:

@@ -77,11 +77,19 @@ class UpscalerNet(nn.Module):
     def __call__(self, color, motion, depth, jitter, warped_history):
         h, w = color.shape[0], color.shape[1]
         jit_map = jnp.broadcast_to(jitter.astype(self.dtype), (h, w, 2))
+        # the warped history enters the FEATURE stack (space-to-depth to low
+        # res, 3x3x3=27 channels), not just the output blend: the net must
+        # see history-vs-current disagreement to predict a useful per-pixel
+        # blend weight (disocclusion rejection) and to sharpen the residual
+        hist_s2d = warped_history.reshape(
+            h, SCALE, w, SCALE, 3).transpose(0, 2, 1, 3, 4).reshape(
+            h, w, SCALE * SCALE * 3)
         x = jnp.concatenate([
             color.astype(self.dtype),
             motion.astype(self.dtype),
             depth[..., None].astype(self.dtype),
             jit_map,
+            hist_s2d.astype(self.dtype),
         ], axis=-1)[None]  # add batch dim for conv
 
         for i in range(self.depth_layers):

@@ -91,15 +91,24 @@ def build_occlusion(sdf: jax.Array, cfg: WorldConfig,
     r = cfg.gi_coarseness // cfg.sdf_coarseness
     vol = sdf.reshape(cfg.sdf_size_z, cfg.sdf_size_y, cfg.sdf_size_x)
     if r > 1:
-        blk = vol.reshape(cfg.gi_size_z, r, cfg.gi_size_y, r,
-                          cfg.gi_size_x, r)
-        if mode == "min":
-            vol = blk.min(axis=(1, 3, 5))
-        elif mode == "max":
-            vol = blk.max(axis=(1, 3, 5))
-        else:
-            vol = (blk.astype(jnp.uint16).sum(axis=(1, 3, 5))
-                   // (r * r * r)).astype(sdf.dtype)
+        # reduce via r^3 strided slices, NOT a (..., r, ..., r, ..., r)
+        # reshape: TPU tiles the two minor dims to (8, 128), so an interior
+        # r=2 dim pads 64x and the 1024^3 build materializes a 34 GB temp
+        acc = None
+        for dz in range(r):
+            for dy in range(r):
+                for dx in range(r):
+                    part = vol[dz::r, dy::r, dx::r]
+                    if mode == "min":
+                        acc = part if acc is None else jnp.minimum(acc, part)
+                    elif mode == "max":
+                        acc = part if acc is None else jnp.maximum(acc, part)
+                    else:  # mean; sums fit uint16 (255 * r^3 <= 65535, r<=6)
+                        p = part.astype(jnp.uint16)
+                        acc = p if acc is None else acc + p
+        if mode == "mean":
+            acc = (acc // (r * r * r)).astype(sdf.dtype)
+        vol = acc
     return vol.reshape(-1).astype(_U32) << 24
 
 

@@ -76,3 +76,15 @@ def test_upscaler_beats_nearest_after_training():
         params, ost, _ = tr.train_step(params, ost, net, opt, s)
     loss1 = float(tr.loss_fn(params, net, s))
     assert loss1 < loss0
+
+
+def test_model_registry_variants():
+    from rvgrt_tpu import models
+
+    net = models.get("upscaler/up-s")
+    assert net.features == 16 and net.depth_layers == 2
+    assert models.get("upscaler").features == 32
+    import pytest
+
+    with pytest.raises(KeyError):
+        models.get("nope/x")

@@ -138,3 +138,26 @@ def test_sample_sdf_at_voxel_clamps(world64):
         sdf, cfg, np.int32([-5, 9999]), np.int32([3, 3]), np.int32([3, 3])))
     want = [sdf_np[1, 1, 0], sdf_np[1, 1, cfg.sdf_size_x - 1]]
     np.testing.assert_array_equal(got, want)
+
+
+def test_build_occlusion_matches_blocked_reduction():
+    """The strided-slice reduction (TPU-layout-safe) must equal the naive
+    (gz, r, gy, r, gx, r) blocked reduction for every mode."""
+    from rvgrt_tpu.config import WorldConfig
+    from rvgrt_tpu.world import gi_grid
+
+    cfg = WorldConfig().with_cube(5)  # 32^3 -> sdf 16^3, gi 8^3, r = 2
+    rng = np.random.default_rng(7)
+    sdf = jnp.asarray(rng.integers(0, 65, cfg.sdf_num_cells, np.uint8))
+    r = cfg.gi_coarseness // cfg.sdf_coarseness
+    blk = np.asarray(sdf).reshape(cfg.gi_size_z, r, cfg.gi_size_y, r,
+                                  cfg.gi_size_x, r)
+    want = {
+        "min": blk.min(axis=(1, 3, 5)),
+        "max": blk.max(axis=(1, 3, 5)),
+        "mean": (blk.astype(np.uint16).sum(axis=(1, 3, 5))
+                 // (r * r * r)).astype(np.uint8),
+    }
+    for mode, w in want.items():
+        got = np.asarray(gi_grid.build_occlusion(sdf, cfg, mode=mode))
+        np.testing.assert_array_equal(got >> 24, w.reshape(-1), err_msg=mode)
