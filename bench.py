@@ -97,6 +97,13 @@ def main():
 
         up_net, up_params = up_model.init_params(
             jax.random.PRNGKey(0), height, width)
+        ckpt = os.path.join(os.path.dirname(__file__),
+                            "checkpoints", "upscaler.pkl")
+        if os.path.exists(ckpt):
+            from rvgrt_tpu.driver import checkpoint as ck
+
+            up_params = jax.tree.map(jnp.asarray, ck.load_params(ckpt))
+            log(f"loaded trained upscaler params from {ckpt}")
         history = jnp.zeros((height * up_model.SCALE,
                              width * up_model.SCALE, 3), jnp.float32)
 

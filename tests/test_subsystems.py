@@ -2,6 +2,7 @@
 
 import dataclasses
 import os
+import time
 
 import numpy as np
 import jax.numpy as jnp
@@ -122,3 +123,60 @@ def test_framesink_roundtrip(tmp_path):
     assert len(files) == 4
     img = np.asarray(Image.open(tmp_path / files[0]))
     assert img.shape == (24, 32, 3)
+
+
+def test_viewer_serves_frames_and_inputs():
+    """Live viewer round-trip with a stub engine: page, frame, stream,
+    stats, and input POST reach the render loop."""
+    import json
+    import urllib.request
+
+    import numpy as np
+
+    from rvgrt_tpu.driver.viewer import ViewerServer
+
+    class StubOut:
+        def __init__(self, v):
+            self.color = np.full((24, 32, 3), v, np.float32)
+
+    class StubEngine:
+        def __init__(self):
+            import dataclasses
+
+            from rvgrt_tpu.config import EngineConfig, RenderConfig
+
+            self.ecfg = EngineConfig(render=dataclasses.replace(
+                RenderConfig(), width=32, height=24))
+            self.seen = []
+
+        def step(self, inputs, dt):
+            self.seen.append(inputs)
+            return StubOut(0.5)
+
+    eng = StubEngine()
+    srv = ViewerServer(eng, port=0, max_fps=120).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        page = urllib.request.urlopen(base + "/", timeout=10).read()
+        assert b"rvgrt_tpu viewer" in page
+        jpg = urllib.request.urlopen(base + "/frame.jpg", timeout=10).read()
+        assert jpg[:2] == b"\xff\xd8"  # JPEG SOI
+        req = urllib.request.Request(
+            base + "/input",
+            data=json.dumps({"move_z": 1, "mouse_dx": 3.5}).encode(),
+            method="POST")
+        assert urllib.request.urlopen(req, timeout=10).status == 204
+        stats = json.loads(urllib.request.urlopen(
+            base + "/stats", timeout=10).read())
+        assert stats["frames"] >= 1
+        # the posted input reaches a subsequent engine step
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            if any(i.move_z == 1.0 for i in eng.seen):
+                break
+            time.sleep(0.02)
+        assert any(i.move_z == 1.0 for i in eng.seen)
+        # mouse deltas are consumed once, not repeated
+        assert sum(i.mouse_dx for i in eng.seen) <= 3.5 + 1e-6
+    finally:
+        srv.stop()
