@@ -257,12 +257,45 @@ def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
     zf = (ox + oy + oz + dx + dy + dz + t0) * _F32(0.0)
     zi = zf.astype(_I32)
 
+    px0 = ox + t0 * dx
+    py0 = oy + t0 * dy
+    pz0 = oz + t0 * dz
+
+    # ---- init-time retirement ----
+    # Lanes that the FIRST supersteps would only discover are dead (sky-out,
+    # slab exit, OOB start) retire before the loop, with the exact phase/its
+    # the in-loop path would produce; a tile whose lanes are all dead then
+    # fails the loop condition immediately instead of paying ~2 supersteps
+    # over every lane (measured 70 ms per parked 720p trace call).  Order
+    # mirrors the body: sky first, then slab exits, then sphere OOB.
+    ph0 = zi + PHASE_SPHERE
+    its0 = zi + 1  # major-loop entry counts one (line 107)
+    live0 = jnp.ones_like(px0, bool)
+    if sky_y is not None:
+        sky0 = (dy >= 0) & (py0 >= sky_y)
+        ph0 = jnp.where(sky0, PHASE_MISS, ph0)
+        live0 &= ~sky0
+    if z_edges is not None:
+        xy_in0 = (px0 >= 0) & (py0 >= 0) & (px0 < size_x) & (py0 < size_y)
+        ex_lo0 = live0 & xy_in0 & (pz0 < 0) & ~z_edges[0]
+        ex_hi0 = live0 & xy_in0 & (pz0 >= size_z) & ~z_edges[1]
+        ph0 = jnp.where(ex_lo0, PHASE_EXIT_LO, ph0)
+        ph0 = jnp.where(ex_hi0, PHASE_EXIT_HI, ph0)
+        live0 &= ~(ex_lo0 | ex_hi0)
+    oob0 = live0 & (
+        (px0 < 0) | (py0 < 0) | (pz0 < 0)
+        | (px0 >= size_x) | (py0 >= size_y) | (pz0 >= size_z))
+    ph0 = jnp.where(oob0, PHASE_MISS, ph0)
+    # OOB start: sphere returns (-100)^3, DDA's loop-top its++ then the
+    # bounds check misses -> its == 2 (lines 124, 144-147)
+    its0 = jnp.where(oob0, its0 + 1, its0)
+
     state = dict(
-        px=ox + t0 * dx, py=oy + t0 * dy, pz=oz + t0 * dz,
+        px=px0, py=py0, pz=pz0,
         ix=zi, iy=zi, iz=zi,
         tmx=zf, tmy=zf, tmz=zf,
-        flags=_set(zi, _MK_SH, _MK_W, MASK_NONE),  # phase=SPHERE, rest 0
-        its=zi + 1,  # major-loop entry counts one (line 107)
+        flags=_set(_set(zi, _MK_SH, _MK_W, MASK_NONE), _PH_SH, _PH_W, ph0),
+        its=its0,
         step=jnp.zeros((), _I32),
     )
 

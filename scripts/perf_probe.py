@@ -1,0 +1,171 @@
+"""Within-run perf probe: dissect the frame cost structure on the real chip.
+
+The device tunnel's throughput varies up to ~3x across runs (PERF.md), so
+only same-process A/B comparisons are load-bearing.  This script builds one
+world and times, in one process:
+
+  1. the per-superstep floor: parked full-res traces with varying
+     max_supersteps (slope = ns/lane/superstep, intercept = call overhead);
+  2. each frame stage standalone (cascade / prepass / shadow / primary /
+     GI gather / water pair);
+  3. the full frame.
+
+Usage:  python scripts/perf_probe.py [--cube 9 --w 1280 --h 720 --reps 5]
+Everything prints to stdout as it measures.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cube", type=int, default=9)
+    p.add_argument("--w", type=int, default=1280)
+    p.add_argument("--h", type=int, default=720)
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--gi", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import os
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from rvgrt_tpu.config import EngineConfig, RenderConfig, WorldConfig
+    from rvgrt_tpu.driver import engine as eng_mod
+    from rvgrt_tpu.render import pipeline
+    from rvgrt_tpu.trace import wavefront
+
+    ecfg = EngineConfig(
+        world=WorldConfig().with_cube(args.cube),
+        render=dataclasses.replace(RenderConfig(), width=args.w,
+                                   height=args.h))
+    cfg, rcfg, lcfg = ecfg.world, ecfg.render, ecfg.lighting
+    print(f"device={jax.devices()[0]} world={2**args.cube}^3 "
+          f"{args.w}x{args.h}", flush=True)
+
+    t0 = time.time()
+    world = eng_mod.build_world(ecfg, verbose=True, init_gi=args.gi)
+    print(f"world build {time.time() - t0:.1f}s", flush=True)
+
+    # camera above terrain center (same as bench.py)
+    from rvgrt_tpu.world import voxel_grid as vg
+    bits_np = np.asarray(world.bits).reshape(cfg.size_z, cfg.size_y,
+                                             cfg.size_x // 32)
+    col = np.asarray(vg.unpack_bits_x(bits_np[cfg.size_z // 2]))[
+        :, cfg.size_x // 2]
+    ys = np.where(col)[0]
+    top = float(ys.max()) if len(ys) else 30.0
+    cam_y = min(top + 12.0, cfg.size_y - 2.0)
+    import math
+    fwd = np.array([math.cos(0.5) * 0.87, -0.5, math.sin(0.5) * 0.87],
+                   np.float32)
+    fwd /= np.linalg.norm(fwd)
+    wup = np.array([0, 1, 0], np.float32)
+    right = np.cross(fwd, wup); right /= np.linalg.norm(right)
+    up = np.cross(fwd, right); up /= np.linalg.norm(up)
+    from rvgrt_tpu.scene.camera import Camera
+    cam_obj = Camera(pos=np.array([cfg.size_x / 2, cam_y, cfg.size_z / 2],
+                                  np.float32),
+                     forward=fwd, right=right.astype(np.float32),
+                     up=up.astype(np.float32))
+    cam = eng_mod.camera_arrays(cam_obj)
+
+    def timeit(name, fn, *a, reps=args.reps, **kw):
+        f = jax.jit(fn) if not isinstance(fn, jax.stages.Wrapped) else fn
+        r = f(*a, **kw)
+        jax.block_until_ready(r)
+        # force real completion via a tiny readback
+        leaf = jax.tree.leaves(r)[0]
+        float(jnp.sum(leaf).astype(jnp.float32)) if leaf.size else None
+        ts = []
+        for _ in range(reps):
+            t = time.time()
+            r = f(*a, **kw)
+            leaf = jax.tree.leaves(r)[0]
+            float(jnp.sum(leaf).astype(jnp.float32))
+            ts.append((time.time() - t) * 1e3)
+        med = sorted(ts)[len(ts) // 2]
+        print(f"{name:42s} {med:9.1f} ms   (min {min(ts):.1f})", flush=True)
+        return med
+
+    table = world.trace_table
+    sky_y = world.sky_y
+    h, w = args.h, args.w
+
+    # ---- 1. superstep floor: parked rays (start OOB), vary cap ----
+    parked = dict(ox=jnp.full((h, w), -10.0, jnp.float32),
+                  oy=jnp.full((h, w), -10.0, jnp.float32),
+                  oz=jnp.full((h, w), -10.0, jnp.float32))
+    ones = jnp.ones((h, w), jnp.float32)
+    for cap in (2, 8, 32):
+        rc = dataclasses.replace(rcfg, max_supersteps=cap)
+
+        def parked_trace(ox, oy, oz, tbl):
+            return wavefront.trace(None, None, cfg, rc, ox, oy, oz,
+                                   ones, ones * 0, ones * 0, ones * 0,
+                                   table=tbl).its
+        timeit(f"parked full-res trace (cap={cap})",
+               functools.partial(jax.jit(parked_trace)),
+               parked["ox"], parked["oy"], parked["oz"], table)
+
+    # ---- 2. stages ----
+    def cascade(tbl, sy):
+        return pipeline._cascade_start(None, None, cfg, rcfg, cam, 0,
+                                       rcfg.half_height, tbl, sy)
+    timeit("cascade start (1/8 res)", jax.jit(cascade), table, sky_y)
+
+    def prepass(tbl, sy):
+        return pipeline.half_res_prepass(None, None, cfg, rcfg, lcfg, cam,
+                                         table=tbl, sky_y=sy)
+    timeit("half-res prepass (primary+shadow)", jax.jit(prepass), table,
+           sky_y)
+
+    hd, hs = jax.jit(prepass)(table, sky_y)
+    start = pipeline.min_dist_upsample(hd)
+
+    def primary(tbl, sy, st):
+        dx, dy, dz = pipeline._ray_dirs(cam, w, h, pixel_center=False)
+        return wavefront.trace(None, None, cfg, rcfg,
+                               cam.pos[0], cam.pos[1], cam.pos[2],
+                               dx, dy, dz, st, table=tbl, sky_y=sy).its
+    timeit("full-res primary (minDist start)", jax.jit(primary), table,
+           sky_y, start)
+    timeit("full-res primary (start=0)", jax.jit(primary), table, sky_y,
+           start * 0)
+
+    if args.gi:
+        def gi_gather(tbl, sy, st, gi, sdf):
+            dx, dy, dz = pipeline._ray_dirs(cam, w, h, pixel_center=False)
+            res = wavefront.trace(None, None, cfg, rcfg,
+                                  cam.pos[0], cam.pos[1], cam.pos[2],
+                                  dx, dy, dz, st, table=tbl, sky_y=sy)
+            return pipeline.gather_gi_image(res, gi, sdf, cfg, rcfg, lcfg)
+        timeit("primary + GI gather", jax.jit(gi_gather), table, sky_y,
+               start, world.gi, world.sdf)
+
+    def frame(bits, sdf, gi, atlas, tbl, sy):
+        return pipeline.render_frame(bits, sdf, gi, atlas, cam, ecfg,
+                                     include_gi=args.gi, sky_y=sy,
+                                     table=tbl).color
+    timeit("full frame", jax.jit(frame), world.bits, world.sdf, world.gi,
+           world.atlas, table, sky_y)
+
+
+if __name__ == "__main__":
+    main()
