@@ -392,10 +392,19 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
 
     # ---- 1+2: half-res prepass (with halo) and conservative upsamples ----
     hy0 = jnp.asarray(y0, jnp.int32) // 2 - 1
-    hrows = slab_h // 2 + 2
+    # pad the halo'd row count up to a multiple of the row-tile target:
+    # slab_h//2 + 2 is often nearly prime (720p full frame -> 362 = 2*181),
+    # which leaves the tracer a single giant row tile and forfeits tile
+    # retirement; the extra rows duplicate the clamped bottom edge and are
+    # sliced off below
+    hneed = slab_h // 2 + 2
+    t = max(rcfg.trace_tile_rows, 1)
+    hrows = -(-hneed // t) * t
     half_dist, half_shadow = half_res_prepass(bits, sdf, cfg, rcfg, lcfg,
                                               cam, hy0=hy0, hrows=hrows,
                                               table=table, sky_y=sky_y)
+    half_dist = half_dist[:hneed]
+    half_shadow = half_shadow[:hneed]
     start_dist = _min_dist_upsample_slab(half_dist, slab_h)
     shadow_full = _bilinear_upsample_slab(half_shadow, slab_h)
 

@@ -35,6 +35,8 @@ def main():
     p.add_argument("--h", type=int, default=720)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--gi", action="store_true")
+    p.add_argument("--sweep", action="store_true",
+                   help="its analysis + tile/steps knob sweeps")
     args = p.parse_args()
 
     import jax
@@ -148,6 +150,111 @@ def main():
            sky_y, start)
     timeit("full-res primary (start=0)", jax.jit(primary), table, sky_y,
            start * 0)
+
+    # ---- its / tile-straggler analysis + knob sweeps ----
+    if args.sweep:
+        def prepass_its(tbl, sy):
+            dx, dy, dz = pipeline._ray_dirs(cam, rcfg.half_width,
+                                            rcfg.half_height,
+                                            pixel_center=True)
+            st = pipeline._cascade_start(None, None, cfg, rcfg, cam, 0,
+                                         rcfg.half_height, tbl, sy)
+            res = wavefront.trace(None, None, cfg, rcfg,
+                                  cam.pos[0], cam.pos[1], cam.pos[2],
+                                  dx, dy, dz, st, table=tbl, sky_y=sy)
+            sun = jnp.asarray(lcfg.sun_dir)
+            sox = jnp.where(res.hit, res.px + res.nx * 0.1, -10.0)
+            soy = jnp.where(res.hit, res.py + res.ny * 0.1, -10.0)
+            soz = jnp.where(res.hit, res.pz + res.nz * 0.1, -10.0)
+            sh = wavefront.trace(None, None, cfg, rcfg, sox, soy, soz,
+                                 sun[0], sun[1], sun[2],
+                                 jnp.zeros_like(sox), table=tbl, sky_y=sy)
+            return res.its, sh.its
+
+        p_its, s_its = jax.jit(prepass_its)(table, sky_y)
+        for name, its in (("prepass primary", p_its),
+                          ("prepass shadow", s_its)):
+            a = np.asarray(its)
+            th, tw = 20, 128
+            hh, ww = a.shape[0] // th * th, a.shape[1] // tw * tw
+            tiles = a[:hh, :ww].reshape(hh // th, th, ww // tw, tw)
+            tmax = tiles.max(axis=(1, 3)).ravel()
+            print(f"{name}: its mean {a.mean():.1f} p90 "
+                  f"{np.percentile(a, 90):.0f} max {a.max()}; tile-max "
+                  f"mean {tmax.mean():.1f} p90 "
+                  f"{np.percentile(tmax, 90):.0f} max {tmax.max()} "
+                  f"(straggler waste {tmax.mean() / max(a.mean(), 1):.1f}x)",
+                  flush=True)
+
+        for rows in (8, 12, 20, 40):
+            rc = dataclasses.replace(rcfg, trace_tile_rows=rows)
+
+            def prim_r(tbl, sy, st, rc=rc):
+                dx, dy, dz = pipeline._ray_dirs(cam, w, h,
+                                                pixel_center=False)
+                return wavefront.trace(None, None, cfg, rc,
+                                       cam.pos[0], cam.pos[1], cam.pos[2],
+                                       dx, dy, dz, st, table=tbl,
+                                       sky_y=sy).its
+            timeit(f"primary tile_rows={rows}", jax.jit(prim_r), table,
+                   sky_y, start)
+        for spc in (1, 2, 4):
+            rc = dataclasses.replace(rcfg, steps_per_check=spc)
+
+            def prim_k(tbl, sy, st, rc=rc):
+                dx, dy, dz = pipeline._ray_dirs(cam, w, h,
+                                                pixel_center=False)
+                return wavefront.trace(None, None, cfg, rc,
+                                       cam.pos[0], cam.pos[1], cam.pos[2],
+                                       dx, dy, dz, st, table=tbl,
+                                       sky_y=sy).its
+            timeit(f"primary steps_per_check={spc}", jax.jit(prim_k),
+                   table, sky_y, start)
+        for rows in (8, 10, 12, 15, 18, 20):
+            rc = dataclasses.replace(rcfg, trace_tile_rows=rows)
+
+            def prep_r(tbl, sy, rc=rc):
+                return pipeline.half_res_prepass(None, None, cfg, rc, lcfg,
+                                                 cam, table=tbl, sky_y=sy)
+            timeit(f"prepass tile_rows={rows}", jax.jit(prep_r), table,
+                   sky_y, reps=5)
+        # correctness: the fast tile window must be bit-identical
+        import jax.numpy as jnp2
+        d12, s12 = jax.jit(lambda tbl, sy: pipeline.half_res_prepass(
+            None, None, cfg, dataclasses.replace(rcfg, trace_tile_rows=15),
+            lcfg, cam, table=tbl, sky_y=sy))(table, sky_y)
+        d20, s20 = jax.jit(lambda tbl, sy: pipeline.half_res_prepass(
+            None, None, cfg, dataclasses.replace(rcfg, trace_tile_rows=20),
+            lcfg, cam, table=tbl, sky_y=sy))(table, sky_y)
+        print("prepass rows15 vs rows20 identical:",
+              bool(jnp2.all(d12 == d20)), bool(jnp2.all(s12 == s20)),
+              flush=True)
+
+        # in-frame shape: traced hy0, halo-padded hrows
+        for rows in (12, 15, 20):
+            rc = dataclasses.replace(rcfg, trace_tile_rows=rows)
+            hneed = h // 2 + 2
+            hrows = -(-hneed // rows) * rows
+
+            def prep_f(tbl, sy, hy0, rc=rc, hrows=hrows):
+                return pipeline.half_res_prepass(None, None, cfg, rc, lcfg,
+                                                 cam, hy0=hy0, hrows=hrows,
+                                                 table=tbl, sky_y=sy)
+            timeit(f"prepass in-frame shape rows={rows} hrows={hrows}",
+                   jax.jit(prep_f), table, sky_y,
+                   jnp.asarray(-1, jnp.int32), reps=5)
+
+        for rows, spc in ((20, 2), (12, 1), (8, 1)):
+            ec = dataclasses.replace(
+                ecfg, render=dataclasses.replace(
+                    rcfg, trace_tile_rows=rows, steps_per_check=spc))
+
+            def fr(bits, sdf, gi, atlas, tbl, sy, ec=ec):
+                return pipeline.render_frame(bits, sdf, gi, atlas, cam, ec,
+                                             include_gi=args.gi, sky_y=sy,
+                                             table=tbl).color
+            timeit(f"frame rows={rows} spc={spc}", jax.jit(fr), world.bits,
+                   world.sdf, world.gi, world.atlas, table, sky_y)
 
     if args.gi:
         def gi_gather(tbl, sy, st, gi, sdf):

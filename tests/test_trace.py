@@ -141,3 +141,46 @@ def test_start_distance_offsets_march(small_world):
                          d[0], d[1], d[2], np.float32(4.0))
     assert bool(r0.hit) and bool(r1.hit)
     np.testing.assert_allclose(float(r0.py), float(r1.py), atol=1e-3)
+
+
+def test_oob_start_and_sky_retirement(small_world):
+    """Init-retired lanes must be indistinguishable from looped ones:
+    an OOB march start (reference: sphere returns (-100)^3, DDA's loop-top
+    its++ then bounds-miss) gives miss with its == 2; sky_y-retired upward
+    rays miss with its == 1 and identical hit flags vs a no-sky_y trace."""
+    cfg, bits, sdf, world = small_world
+    rcfg = RenderConfig()
+
+    # t_start pushes the position above the world -> OOB start
+    o = np.float32([32.0, 60.0, 32.0])
+    d = np.float32([0.0, 1.0, 0.0])
+    r = wavefront.trace(bits, sdf, cfg, rcfg, o[0], o[1], o[2],
+                        d[0], d[1], d[2], np.float32(16.0))
+    assert not bool(r.hit)
+    assert int(r.its) == 2
+    want = scalar_trace.trace(world, o, d, 16.0)
+    assert not want.hit and want.its == 2
+
+    # sky_y: upward rays above the world's highest solid voxel
+    n = 64
+    rng = np.random.default_rng(11)
+    ox = rng.uniform(2, cfg.size_x - 2, n).astype(np.float32)
+    oz = rng.uniform(2, cfg.size_z - 2, n).astype(np.float32)
+    oy = rng.uniform(2, cfg.size_y - 2, n).astype(np.float32)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True).astype(np.float32)
+    sky_y = jnp.asarray(vg.sky_limit(bits, cfg))
+    r_sky = wavefront.trace(bits, sdf, cfg, rcfg, ox, oy, oz,
+                            dirs[:, 0], dirs[:, 1], dirs[:, 2],
+                            np.zeros(n, np.float32), sky_y=sky_y)
+    r_ref = wavefront.trace(bits, sdf, cfg, rcfg, ox, oy, oz,
+                            dirs[:, 0], dirs[:, 1], dirs[:, 2],
+                            np.zeros(n, np.float32))
+    np.testing.assert_array_equal(np.asarray(r_sky.hit),
+                                  np.asarray(r_ref.hit))
+    retired = (dirs[:, 1] >= 0) & (oy >= float(sky_y))
+    assert np.all(np.asarray(r_sky.its)[retired] == 1)
+    # hit payloads identical where both hit
+    hit = np.asarray(r_ref.hit)
+    np.testing.assert_allclose(np.asarray(r_sky.py)[hit],
+                               np.asarray(r_ref.py)[hit], atol=1e-5)
