@@ -98,6 +98,9 @@ class TraceResult(NamedTuple):
     # through the low/high face (px/py/pz then hold the exit position,
     # local coords); 0 otherwise
     exit_dir: jax.Array = 0
+    # supersteps the ray's retirement tile ran (i32, same value across a
+    # tile) - the tracer's true cost counter: tile time ~ steps x lanes
+    steps: jax.Array = 0
 
 
 def make_trace_table(bits: jax.Array, sdf: jax.Array,
@@ -583,4 +586,5 @@ def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
         hit=hit, px=out_px, py=out_py, pz=out_pz,
         nx=nx, ny=ny, nz=nz,
         uv_u=jnp.where(hit, uvu, 0.0), uv_v=jnp.where(hit, uvv, 0.0),
-        its=final["its"], t=t_out, exit_dir=exit_dir)
+        its=final["its"], t=t_out, exit_dir=exit_dir,
+        steps=jnp.broadcast_to(final["step"], hit.shape))

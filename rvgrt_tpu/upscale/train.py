@@ -60,9 +60,18 @@ def make_optimizer(lr: float = 1e-3):
 
 
 def render_pair_dataset(ecfg, n_frames: int, low_w: int, low_h: int,
-                        include_gi: bool = False) -> Iterator[Sample]:
+                        include_gi: bool = False,
+                        segment_len: int = 12) -> Iterator[Sample]:
     """Render (low-res inputs, 3x high-res target) pairs along a
-    deterministic flythrough of the configured world."""
+    deterministic flythrough of the configured world.
+
+    The path is cut into segments with varied motion (fly / strafe / turn
+    left / turn right / climb) from re-randomized headings so the net sees
+    diverse motion-vector and disocclusion statistics, not one constant
+    forward-drift; each segment restarts the temporal history (a history
+    reset is exactly the first-frame case the net must also handle)."""
+    import numpy as np
+
     from rvgrt_tpu.driver.cli import spawn_above_terrain
     from rvgrt_tpu.driver.engine import Engine
     from rvgrt_tpu.scene.camera import InputState
@@ -81,10 +90,25 @@ def render_pair_dataset(ecfg, n_frames: int, low_w: int, low_h: int,
     hi.character.pitch = lo.character.pitch
     hi.character.yaw = lo.character.yaw
 
-    history = jnp.zeros((low_h * up_model.SCALE, low_w * up_model.SCALE, 3),
-                        _F32)
+    moves = [
+        InputState(move_z=1.0, mouse_dx=1.0),
+        InputState(move_z=1.0, mouse_dx=-3.0),
+        InputState(move_x=1.0, mouse_dx=0.5),
+        InputState(move_z=1.0, mouse_dy=1.0),
+        InputState(move_z=-1.0, mouse_dx=2.0),
+    ]
+    rng = np.random.default_rng(0)
+    zero_hist = jnp.zeros((low_h * up_model.SCALE, low_w * up_model.SCALE,
+                           3), _F32)
+    history = zero_hist
     for i in range(n_frames):
-        inputs = InputState(move_z=1.0, mouse_dx=1.0)
+        if segment_len and i % segment_len == 0 and i:
+            # new heading + fresh history each segment
+            lo.character.yaw = float(rng.uniform(-3.14, 3.14))
+            hi.character.yaw = lo.character.yaw
+            hi.character.position = lo.character.position.copy()
+            history = zero_hist
+        inputs = moves[(i // max(segment_len, 1)) % len(moves)]
         out_lo = lo.step(inputs, 1 / 60)
         out_hi = hi.step(inputs, 1 / 60)
         jit = jnp.asarray(lo.character.ray_jitter_ndc(), _F32)
@@ -159,6 +183,8 @@ def main():
     p.add_argument("--low-w", type=int, default=128)
     p.add_argument("--low-h", type=int, default=96)
     p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--variant", default="up-m",
+                   help="model family member (models/upscaler.py)")
     p.add_argument("--out", default="checkpoints/upscaler.pkl")
     args = p.parse_args()
 
@@ -174,8 +200,10 @@ def main():
     print(f"rendered {len(data)} pairs in {time.time() - t0:.0f}s",
           flush=True)
 
-    net, params = up_model.init_params(jax.random.PRNGKey(0), args.low_h,
-                                       args.low_w)
+    from rvgrt_tpu.models import upscaler as up_family
+
+    net, params = up_family.init(args.variant, jax.random.PRNGKey(0),
+                                 args.low_h, args.low_w)
     opt = make_optimizer(1e-3)
     opt_state = opt.init(params)
     train_set, eval_set = data[:-4], data[-4:]

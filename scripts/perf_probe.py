@@ -88,8 +88,9 @@ def main():
                      up=up.astype(np.float32))
     cam = eng_mod.camera_arrays(cam_obj)
 
-    def timeit(name, fn, *a, reps=args.reps, **kw):
-        f = jax.jit(fn) if not isinstance(fn, jax.stages.Wrapped) else fn
+    def timeit(name, fn, *a, reps=args.reps, raw=False, **kw):
+        f = fn if raw or isinstance(fn, jax.stages.Wrapped) \
+            else jax.jit(fn)
         r = f(*a, **kw)
         jax.block_until_ready(r)
         # force real completion via a tiny readback
@@ -218,6 +219,35 @@ def main():
                                                  cam, table=tbl, sky_y=sy)
             timeit(f"prepass tile_rows={rows}", jax.jit(prep_r), table,
                    sky_y, reps=5)
+
+            # true work: sum over tiles of the supersteps each tile ran
+            def prep_steps(tbl, sy, rc=rc):
+                dx, dy, dz = pipeline._ray_dirs(cam, rcfg.half_width,
+                                                rcfg.half_height,
+                                                pixel_center=True)
+                st = pipeline._cascade_start(None, None, cfg, rc, cam, 0,
+                                             rcfg.half_height, tbl, sy)
+                res = wavefront.trace(None, None, cfg, rc,
+                                      cam.pos[0], cam.pos[1], cam.pos[2],
+                                      dx, dy, dz, st, table=tbl, sky_y=sy)
+                sun = jnp.asarray(lcfg.sun_dir)
+                sox = jnp.where(res.hit, res.px + res.nx * 0.1, -10.0)
+                soy = jnp.where(res.hit, res.py + res.ny * 0.1, -10.0)
+                soz = jnp.where(res.hit, res.pz + res.nz * 0.1, -10.0)
+                sh = wavefront.trace(None, None, cfg, rc, sox, soy, soz,
+                                     sun[0], sun[1], sun[2],
+                                     jnp.zeros_like(sox), table=tbl,
+                                     sky_y=sy)
+                return res.steps, sh.steps
+
+            ps, ss = jax.jit(prep_steps)(table, sky_y)
+            hh2 = rcfg.half_height // rows * rows
+            lanes = rows * 128
+            tp = np.asarray(ps)[:hh2:rows, ::128]
+            ts = np.asarray(ss)[:hh2:rows, ::128]
+            print(f"  rows={rows}: primary tile-steps sum {tp.sum()} "
+                  f"(lane-steps {tp.sum() * lanes / 1e6:.0f}M), shadow "
+                  f"{ts.sum()} ({ts.sum() * lanes / 1e6:.0f}M)", flush=True)
         # correctness: the fast tile window must be bit-identical
         import jax.numpy as jnp2
         d12, s12 = jax.jit(lambda tbl, sy: pipeline.half_res_prepass(
@@ -265,6 +295,55 @@ def main():
             return pipeline.gather_gi_image(res, gi, sdf, cfg, rcfg, lcfg)
         timeit("primary + GI gather", jax.jit(gi_gather), table, sky_y,
                start, world.gi, world.sdf)
+
+        # split-dispatch GI frame: trace+direct in one jit, GI gather +
+        # composite in a second — two smaller graphs, each more likely to
+        # land the compiler's fast schedule than the fused GI frame
+        base = jax.jit(lambda bits, sdf, gi, atlas, sy, tbl:
+                       pipeline.render_frame(bits, sdf, gi, atlas, cam,
+                                             ecfg, include_gi=False,
+                                             sky_y=sy, table=tbl))
+
+        def gb(tbl, sy):
+            dx, dy, dz = pipeline._ray_dirs(cam, w, h, pixel_center=False)
+            res = wavefront.trace(None, None, cfg, rcfg,
+                                  cam.pos[0], cam.pos[1], cam.pos[2],
+                                  dx, dy, dz, start, table=tbl, sky_y=sy)
+            return res
+
+        gbj = jax.jit(gb)
+
+        def gi_pass(res, gi, sdf, color):
+            ir, ig, ib = pipeline.gather_gi_image(res, gi, sdf, cfg, rcfg,
+                                                  lcfg)
+            from rvgrt_tpu.world import atlas as atlas_mod2
+            from rvgrt_tpu.core import vecmath as vm2
+            alb = vm2.v3(*atlas_mod2.sample_texture(
+                world.atlas, res.uv_u, res.uv_v, res.px, res.py, res.pz))
+            ind = vm2.mul(vm2.v3(ir, ig, ib),
+                          vm2.scale(alb, lcfg.gi_strength))
+            return color + jnp.stack(ind, -1) * res.hit[..., None]
+
+        gij = jax.jit(gi_pass)
+
+        def split_frame(bits, sdf, gi, atlas, tbl, sy):
+            out = base(bits, sdf, gi, atlas, sy, tbl)
+            res = gbj(tbl, sy)
+            return gij(res, gi, sdf, out.color)
+
+        # note: re-traces the primary (the honest version would return the
+        # G-buffer from the base frame); counts as an upper bound
+        timeit("split GI frame (base + retrace + gi)", split_frame,
+               world.bits, world.sdf, world.gi, world.atlas, table, sky_y,
+               raw=True)
+        # honest-split decomposition: base alone + gi-composite alone
+        out0 = base(world.bits, world.sdf, world.gi, world.atlas, sky_y,
+                    table)
+        res0 = gbj(table, sky_y)
+        timeit("  base frame (gi off) alone", base, world.bits, world.sdf,
+               world.gi, world.atlas, sky_y, table)
+        timeit("  gi composite alone (given G-buffer)", gij, res0,
+               world.gi, world.sdf, out0.color)
 
     def frame(bits, sdf, gi, atlas, tbl, sy):
         return pipeline.render_frame(bits, sdf, gi, atlas, cam, ecfg,
