@@ -107,10 +107,17 @@ def main():
         history = jnp.zeros((height * up_model.SCALE,
                              width * up_model.SCALE, 3), jnp.float32)
 
-    def _render(b, s, g, a, cam, occ, sky, tbl, hist):
-        out = pipeline.render_frame(b, s, g, a, cam, ecfg,
-                                    include_gi=include_gi, gi_occ=occ,
-                                    sky_y=sky, table=tbl)
+    # GI frames dispatch as base + composite (two jits): the fused graph
+    # hits XLA's slow-schedule mode (~2x) on TPU - see PERF.md
+    def _base(b, s, g, a, cam, sky, tbl):
+        return pipeline.render_frame(b, s, g, a, cam, ecfg,
+                                     include_gi=False, sky_y=sky, table=tbl,
+                                     return_gbuffer=include_gi)
+
+    def _post(out, gb, g, s, occ, cam, hist):
+        if include_gi:
+            out = out._replace(color=pipeline.gi_composite(
+                out.color, gb, g, s, ecfg, gi_occ=occ))
         if upscale:
             hi, _ = up_model.upscale(up_net, up_params, out.color,
                                      out.motion, out.depth, cam.jitter,
@@ -118,7 +125,15 @@ def main():
             return out._replace(color=hi)
         return out
 
-    render = jax.jit(_render)
+    base_j = jax.jit(_base)
+    post_j = jax.jit(_post)
+
+    def render(b, s, g, a, cam, occ, sky, tbl, hist):
+        r = base_j(b, s, g, a, cam, sky, tbl)
+        out, gb = r if include_gi else (r, None)
+        if include_gi or upscale:
+            return post_j(out, gb, g, s, occ, cam, hist)
+        return out
 
     def frame(cam_obj, prev_vp=None):
         nonlocal_hist = frame.history

@@ -240,6 +240,12 @@ class RenderConfig:
     gi_fused_cone: bool = False
     # relative hit-distance tolerance for upsample sample reuse
     gi_depth_threshold: float = 0.08
+    # dispatch the GI frame as three small jits (GI update / base frame +
+    # G-buffer / GI composite) instead of one fused graph: XLA's TPU
+    # scheduler is bimodal on the big graph (~2x slow mode); the small
+    # graphs reliably land the fast schedule (832 -> ~500 ms measured at
+    # 720p/512^3, PERF.md).  Outputs match to float addition-order.
+    gi_split_dispatch: bool = True
 
     @property
     def half_width(self) -> int:

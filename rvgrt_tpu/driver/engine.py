@@ -103,7 +103,7 @@ def frame_step(bits, sdf, gi, atlas, cam: pipeline.CameraArrays,
                update_gi: bool = True, gi_occ=None, sky_y=None,
                table=None):
     """One frame: GI progressive update + full render (renderLoop order,
-    main.cpp:119-124: GI update precedes drawCUDA)."""
+    main.cpp:119-124: GI update precedes drawCUDA), fused in one jit."""
     if update_gi:
         gi = gi_update.update_gi(gi, bits, sdf, atlas, ecfg, frame,
                                  gi_offset, sky_y=sky_y, table=table)
@@ -111,6 +111,31 @@ def frame_step(bits, sdf, gi, atlas, cam: pipeline.CameraArrays,
                                 include_gi=include_gi, gi_occ=gi_occ,
                                 sky_y=sky_y, table=table)
     return out, gi
+
+
+# --- split-dispatch GI frame: three small jits instead of one big one.
+# XLA's TPU scheduler is bimodal on the big fused graph (~2x slow mode,
+# PERF.md); the GI-less base frame + a separate GI composite reliably land
+# the fast schedule (measured 832 -> ~500 ms at 720p/512^3).  Outputs match
+# frame_step to float addition-order.
+@functools.partial(jax.jit, static_argnames=("ecfg",))
+def gi_update_step(gi, bits, sdf, atlas, frame, gi_offset,
+                   ecfg: EngineConfig, sky_y=None, table=None):
+    return gi_update.update_gi(gi, bits, sdf, atlas, ecfg, frame,
+                               gi_offset, sky_y=sky_y, table=table)
+
+
+@functools.partial(jax.jit, static_argnames=("ecfg",))
+def base_frame_step(bits, sdf, gi, atlas, cam: pipeline.CameraArrays,
+                    ecfg: EngineConfig, sky_y=None, table=None):
+    return pipeline.render_frame(bits, sdf, gi, atlas, cam, ecfg,
+                                 include_gi=False, sky_y=sky_y, table=table,
+                                 return_gbuffer=True)
+
+
+@functools.partial(jax.jit, static_argnames=("ecfg",))
+def gi_composite_step(color, gb, gi, sdf, ecfg: EngineConfig, gi_occ=None):
+    return pipeline.gi_composite(color, gb, gi, sdf, ecfg, gi_occ=gi_occ)
 
 
 class Engine:
@@ -139,14 +164,28 @@ class Engine:
             prev_vp=ch.prev_unjittered_view_projection,
             jitter=ch.ray_jitter_ndc(),
             time_s=(time.time() - self.start_time) % 1e6)
-        out, gi = frame_step(
-            self.world.bits, self.world.sdf, self.world.gi, self.world.atlas,
-            cam, jnp.asarray(self.frame_count, jnp.uint32),
-            jnp.asarray(self.gi_offset, jnp.int32),
-            self.ecfg, include_gi=self.include_gi,
-            update_gi=self.include_gi, gi_occ=self.world.gi_occ,
-            sky_y=self.world.sky_y, table=self.world.trace_table)
-        self.world.gi = gi
+        w = self.world
+        if self.include_gi and self.ecfg.render.gi_split_dispatch:
+            gi = gi_update_step(
+                w.gi, w.bits, w.sdf, w.atlas,
+                jnp.asarray(self.frame_count, jnp.uint32),
+                jnp.asarray(self.gi_offset, jnp.int32), self.ecfg,
+                sky_y=w.sky_y, table=w.trace_table)
+            out, gb = base_frame_step(w.bits, w.sdf, gi, w.atlas, cam,
+                                      self.ecfg, sky_y=w.sky_y,
+                                      table=w.trace_table)
+            color = gi_composite_step(out.color, gb, gi, w.sdf, self.ecfg,
+                                      gi_occ=w.gi_occ)
+            out = out._replace(color=color)
+        else:
+            out, gi = frame_step(
+                w.bits, w.sdf, w.gi, w.atlas,
+                cam, jnp.asarray(self.frame_count, jnp.uint32),
+                jnp.asarray(self.gi_offset, jnp.int32),
+                self.ecfg, include_gi=self.include_gi,
+                update_gi=self.include_gi, gi_occ=w.gi_occ,
+                sky_y=w.sky_y, table=w.trace_table)
+        self.world.gi = gi if self.include_gi else self.world.gi
         self.frame_count += 1
         self.gi_offset = gi_update.advance_offset(self.gi_offset, self.ecfg)
         return out

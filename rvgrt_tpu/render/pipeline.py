@@ -47,6 +47,28 @@ class FrameOutputs(NamedTuple):
     half_shadow: jnp.ndarray  # (H/2, W/2) float32
 
 
+class GBuffer(NamedTuple):
+    """Primary-hit geometry + material for deferred (split-dispatch) GI.
+
+    Field names mirror TraceResult so ``gather_gi_image`` can consume
+    either.  ``fog`` is the per-pixel exponential fog transmittance the
+    base color was composited with - light added later must be scaled by
+    the same factor for bit-compatibility with the fused path.
+    """
+    hit: jnp.ndarray
+    px: jnp.ndarray
+    py: jnp.ndarray
+    pz: jnp.ndarray
+    nx: jnp.ndarray
+    ny: jnp.ndarray
+    nz: jnp.ndarray
+    t: jnp.ndarray
+    albedo_r: jnp.ndarray
+    albedo_g: jnp.ndarray
+    albedo_b: jnp.ndarray
+    fog: jnp.ndarray
+
+
 class CameraArrays(NamedTuple):
     """Camera basis + matrices as jnp arrays (device-resident constants).
 
@@ -373,7 +395,8 @@ def gather_gi_image(res, gi, sdf, cfg, rcfg, lcfg, gi_occ=None):
 def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
                 ecfg: EngineConfig, y0, slab_h: int,
                 include_gi: bool = True, gi_occ=None,
-                sky_y=None, table=None) -> FrameOutputs:
+                sky_y=None, table=None,
+                return_gbuffer: bool = False) -> FrameOutputs:
     """Render rows [y0, y0 + slab_h) of the frame.
 
     The unit of pixel-parallel work: a full frame is one slab; a sharded
@@ -481,7 +504,10 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
 
     # ---- fog (StateRender.cu:140-145) ----
     dist = vm.length(vm.sub(hpos, (cam.pos[0], cam.pos[1], cam.pos[2])))
-    color = shading.apply_fog(color, hit, dist, lcfg)
+    fog_t = jnp.where(hit, jnp.exp(-dist * _F32(lcfg.fog_density)),
+                      _F32(1.0))
+    fog_col = vm.splat(lcfg.fog_color, fog_t.shape)
+    color = vm.add(vm.scale(color, fog_t), vm.scale(fog_col, 1.0 - fog_t))
 
     # ---- 5: motion vectors + depth (StateRender.cu:234-252) ----
     ones = jnp.ones_like(res.px)
@@ -499,15 +525,53 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
 
     color_img = jnp.clip(jnp.stack(color, axis=-1), 0.0, 1.0)
     motion = jnp.stack([mv_x, -mv_y], axis=-1)
-    return FrameOutputs(color=color_img, motion=motion, depth=depth,
-                        half_dist=half_dist[1:-1], half_shadow=half_shadow[1:-1])
+    out = FrameOutputs(color=color_img, motion=motion, depth=depth,
+                       half_dist=half_dist[1:-1],
+                       half_shadow=half_shadow[1:-1])
+    if return_gbuffer:
+        gb = GBuffer(hit=hit, px=res.px, py=res.py, pz=res.pz,
+                     nx=res.nx, ny=res.ny, nz=res.nz, t=res.t,
+                     albedo_r=albedo[0], albedo_g=albedo[1],
+                     albedo_b=albedo[2], fog=fog_t)
+        return out, gb
+    return out
 
 
 def render_frame(bits, sdf, gi, atlas, cam: CameraArrays,
                  ecfg: EngineConfig, include_gi: bool = True,
-                 gi_occ=None, sky_y=None, table=None) -> FrameOutputs:
+                 gi_occ=None, sky_y=None, table=None,
+                 return_gbuffer: bool = False) -> FrameOutputs:
     """Full frame = one slab covering every row."""
     return render_slab(bits, sdf, gi, atlas, cam, ecfg,
                        y0=jnp.int32(0), slab_h=ecfg.render.height,
                        include_gi=include_gi, gi_occ=gi_occ, sky_y=sky_y,
-                       table=table)
+                       table=table, return_gbuffer=return_gbuffer)
+
+
+def gi_composite(color, gb: GBuffer, gi, sdf, ecfg: EngineConfig,
+                 gi_occ=None):
+    """Add cone-traced indirect + sky ambient onto a GI-less base color.
+
+    The split-dispatch half of the GI frame: ``render_frame(include_gi=
+    False, return_gbuffer=True)`` in one jit, this in a second.  Measured
+    on v5e (512^3, 720p): the fused GI frame compiles to a slow schedule
+    (~830 ms) while base (354 ms) + this (146 ms) both land the fast one -
+    a 1.66x frame win for the same math (PERF.md).  Matches the fused
+    ``include_gi=True`` output to float addition-order (the added light is
+    scaled by the same fog transmittance the base was composited with; the
+    base's [0,1] clip is a no-op on lit solid pixels, which never exceed
+    1.0 pre-GI).
+    """
+    cfg, rcfg, lcfg = ecfg.world, ecfg.render, ecfg.lighting
+    ir, ig, ib = gather_gi_image(gb, gi, sdf, cfg, rcfg, lcfg,
+                                 gi_occ=gi_occ)
+    albedo = (gb.albedo_r, gb.albedo_g, gb.albedo_b)
+    normal = (gb.nx, gb.ny, gb.nz)
+    indirect = vm.mul(vm.v3(ir, ig, ib),
+                      vm.scale(albedo, _F32(lcfg.gi_strength)))
+    ambient = vm.mul(shading.sample_sky(normal, lcfg),
+                     vm.scale(albedo, _F32(lcfg.ambient_strength)))
+    solid = gb.hit & ~(gb.py < _F32(lcfg.water_level))
+    scale = jnp.where(solid, gb.fog, _F32(0.0))
+    add = vm.scale(vm.add(indirect, ambient), scale)
+    return jnp.clip(color + jnp.stack(add, axis=-1), 0.0, 1.0)

@@ -102,3 +102,28 @@ def test_render_deterministic(engine):
     # additive light; compare only when gi update disabled would be exact -
     # here we check shapes + closeness)
     assert np.asarray(out1.color).shape == np.asarray(out2.color).shape
+
+
+def test_split_gi_dispatch_matches_fused(engine):
+    """The three-jit split GI frame must equal the fused include_gi=True
+    render to float addition-order (same math, distributed over the fog
+    factor)."""
+    from rvgrt_tpu.driver.engine import camera_arrays
+    from rvgrt_tpu.render.pipeline import gi_composite, render_frame
+
+    w = engine.world
+    cam = camera_arrays(engine.character.camera,
+                        vp=engine.character.unjittered_view_projection,
+                        prev_vp=engine.character.prev_unjittered_view_projection)
+    fused = render_frame(w.bits, w.sdf, w.gi, w.atlas, cam, engine.ecfg,
+                         include_gi=True, sky_y=w.sky_y,
+                         table=w.trace_table)
+    base, gb = render_frame(w.bits, w.sdf, w.gi, w.atlas, cam, engine.ecfg,
+                            include_gi=False, sky_y=w.sky_y,
+                            table=w.trace_table, return_gbuffer=True)
+    split_color = gi_composite(base.color, gb, w.gi, w.sdf, engine.ecfg)
+    np.testing.assert_allclose(np.asarray(split_color),
+                               np.asarray(fused.color), atol=2e-6)
+    # non-color outputs are produced by the same base pass
+    np.testing.assert_array_equal(np.asarray(base.depth),
+                                  np.asarray(fused.depth))
