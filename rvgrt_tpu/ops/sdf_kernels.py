@@ -7,6 +7,12 @@ each iteration re-streams the volume from HBM.  This kernel instead brings
 one z-slab (1, Y + 2*cap, X) into VMEM and does all 64 shifted mins on-chip:
 one HBM read + one write per slab, compile measured in seconds.
 
+The kernel is uint8 in / uint8 out (distances, not squares): at the 2048^3
+world the coarse grid is 1024^3 cells, and materializing i32 squared
+volumes in HBM (4.3 GB each, plus padding) exhausts a v5e's 16 GB.  The
+squaring, the shifted-min accumulation and the integer sqrt all happen on
+the VMEM-resident block.
+
 The same kernel serves the Y pass and (via transpose) the Z pass.
 """
 
@@ -20,31 +26,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _I32 = jnp.int32
+_PAD = 255  # u8 sentinel; 255^2 + off^2 always loses to any real candidate
 
 
 def _minconv_kernel(cap: int, n: int, padded_ref, out_ref):
-    """out[y] = min over off in [0, cap] of padded[y + cap +- off] + off^2.
+    """out[y] = isqrt(min over off in [0, cap] of d[y +- off]^2 + off^2).
 
     Statically unrolled over offsets: Mosaic handles static-offset vector
-    loads robustly (dynamic-start loads of large vectors do not lower)."""
-    acc = padded_ref[0, cap:cap + n, :]
+    loads robustly (dynamic-start loads of large vectors do not lower).
+    min(lo, hi)^2 == min(lo^2, hi^2) for unsigned distances, so each offset
+    pair costs one min + one multiply-add."""
+    d0 = padded_ref[0, cap:cap + n, :].astype(_I32)
+    acc = d0 * d0
     for off in range(1, cap + 1):
-        lo = padded_ref[0, cap - off:cap - off + n, :]
-        hi = padded_ref[0, cap + off:cap + off + n, :]
-        acc = jnp.minimum(acc, jnp.minimum(lo, hi) + off * off)
-    out_ref[0] = acc
+        # cast before the min: Mosaic has no u8 vector min (arith.minui on
+        # i8 fails to legalize), i32 min is native
+        lo = padded_ref[0, cap - off:cap - off + n, :].astype(_I32)
+        hi = padded_ref[0, cap + off:cap + off + n, :].astype(_I32)
+        m = jnp.minimum(lo, hi)
+        acc = jnp.minimum(acc, m * m + off * off)
+    # floor(sqrt) with integer fix-up (approximate-sqrt-safe), then the
+    # reference's uint8 truncation
+    d = jnp.sqrt(acc.astype(jnp.float32)).astype(_I32)
+    d = jnp.where(d * d > acc, d - 1, d)
+    d = jnp.where((d + 1) * (d + 1) <= acc, d + 1, d)
+    out_ref[0] = jnp.minimum(d, _I32(cap)).astype(jnp.uint8)
 
 
-def minconv_axis1(sq: jax.Array, cap: int) -> jax.Array:
-    """min-plus conv along axis 1 of an int32 (Z, Y, X) volume (squared
-    distances); returns the squared-min volume (not yet sqrt'ed)."""
-    z, y, x = sq.shape
-    inf = _I32(2 * cap * cap + 1)
-    padded = jnp.pad(sq, ((0, 0), (cap, cap), (0, 0)), constant_values=inf)
+def minconv_axis1(dist_u8: jax.Array, cap: int) -> jax.Array:
+    """min-plus conv along axis 1 of a uint8 (Z, Y, X) distance volume;
+    returns the uint8 distance volume of the combined metric."""
+    z, y, x = dist_u8.shape
+    padded = jnp.pad(dist_u8, ((0, 0), (cap, cap), (0, 0)),
+                     constant_values=_PAD)
 
     return pl.pallas_call(
         functools.partial(_minconv_kernel, cap, y),
-        out_shape=jax.ShapeDtypeStruct((z, y, x), _I32),
+        out_shape=jax.ShapeDtypeStruct((z, y, x), jnp.uint8),
         grid=(z,),
         in_specs=[pl.BlockSpec((1, y + 2 * cap, x), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -53,22 +71,12 @@ def minconv_axis1(sq: jax.Array, cap: int) -> jax.Array:
     )(padded)
 
 
-def _isqrt_trunc(best: jax.Array, cap: int) -> jax.Array:
-    """floor(sqrt(n)) with integer fix-up (approximate-sqrt-safe)."""
-    d = jnp.sqrt(best.astype(jnp.float32)).astype(_I32)
-    d = jnp.where(d * d > best, d - 1, d)
-    d = jnp.where((d + 1) * (d + 1) <= best, d + 1, d)
-    return jnp.minimum(d, _I32(cap))
-
-
 def minconv_pass_pallas(prev_dist: jax.Array, axis: int, cap: int) -> jax.Array:
-    """Drop-in equivalent of world.sdf._minconv_pass using the VMEM kernel."""
-    sq = prev_dist.astype(_I32)
-    sq = sq * sq
+    """Drop-in equivalent of world.sdf._minconv_pass using the VMEM kernel.
+    uint8 in, uint8 out."""
+    d = prev_dist.astype(jnp.uint8)
     if axis == 1:
-        best = minconv_axis1(sq, cap)
-    elif axis == 0:
-        best = minconv_axis1(sq.transpose(1, 0, 2), cap).transpose(1, 0, 2)
-    else:
-        raise ValueError(axis)
-    return _isqrt_trunc(best, cap)
+        return minconv_axis1(d, cap)
+    if axis == 0:
+        return minconv_axis1(d.transpose(1, 0, 2), cap).transpose(1, 0, 2)
+    raise ValueError(axis)

@@ -30,23 +30,40 @@ _I32 = jnp.int32
 _BIG = 1 << 20  # "infinity" index sentinel, safely squarable in int32
 
 
-def _axis_distance_1d(solid: jax.Array, axis: int, cap: int) -> jax.Array:
-    """Distance (in cells) along ``axis`` to the nearest solid cell, capped.
+def _axis_distance_1d(solid: jax.Array, axis: int, cap: int,
+                      chunks: int | None = None) -> jax.Array:
+    """Distance (in cells) along ``axis`` to the nearest solid cell, capped;
+    returned as uint8 (the reference truncates every pass to uint8).
 
     Exact equivalent of the reference's bidirectional X scan
     (``computeDistX``, ``CoarseArray.cu:37-75``) via cummax/cummin of the
-    last/next solid index.
+    last/next solid index.  For big volumes the scan runs in leading-axis
+    chunks (``lax.map``): the i32 scan temps are ~4x the volume, which blows
+    HBM at 1024^3 coarse cells (the 2048^3 world) if materialized at once.
     """
     n = solid.shape[axis]
     shape = [1] * solid.ndim
     shape[axis] = n
     idx = jnp.arange(n, dtype=_I32).reshape(shape)
 
-    last_solid = jax.lax.cummax(jnp.where(solid, idx, _I32(-_BIG)), axis=axis)
-    next_solid = jax.lax.cummin(jnp.where(solid, idx, _I32(_BIG)), axis=axis,
-                                reverse=True)
-    dist = jnp.minimum(idx - last_solid, next_solid - idx)
-    return jnp.minimum(dist, _I32(cap))
+    def scan(sol):
+        last_solid = jax.lax.cummax(jnp.where(sol, idx, _I32(-_BIG)),
+                                    axis=axis)
+        next_solid = jax.lax.cummin(jnp.where(sol, idx, _I32(_BIG)),
+                                    axis=axis, reverse=True)
+        dist = jnp.minimum(idx - last_solid, next_solid - idx)
+        return jnp.minimum(dist, _I32(cap)).astype(jnp.uint8)
+
+    if chunks is None:
+        # bound the i32 temps to ~256 MB regardless of volume size
+        chunks = max(1, solid.size * 4 // (256 * 1024 * 1024))
+    lead = solid.shape[0]
+    if axis == 0 or chunks <= 1 or lead % chunks:
+        return scan(solid)
+    out = jax.lax.map(scan,
+                      solid.reshape((chunks, lead // chunks)
+                                    + solid.shape[1:]))
+    return out.reshape(solid.shape)
 
 
 def _minconv_pass(prev_dist: jax.Array, axis: int, cap: int) -> jax.Array:
@@ -80,7 +97,7 @@ def _minconv_pass(prev_dist: jax.Array, axis: int, cap: int) -> jax.Array:
     dist = jnp.sqrt(best.astype(jnp.float32)).astype(_I32)
     dist = jnp.where(dist * dist > best, dist - 1, dist)
     dist = jnp.where((dist + 1) * (dist + 1) <= best, dist + 1, dist)
-    return jnp.minimum(dist, _I32(cap))
+    return jnp.minimum(dist, _I32(cap)).astype(jnp.uint8)
 
 
 def build_sdf(coarse_solid: jax.Array, cfg: WorldConfig,

@@ -155,10 +155,31 @@ def coarse_occupancy(bits: jax.Array, cfg: WorldConfig,
     sx, sy, sz = cfg.size_x, cfg.size_y, cfg.size_z
     words = bits.reshape(sz, sy, sx // 32)
 
-    # OR words over the cxc (y,z) footprint of each coarse cell.
-    w = words.reshape(sz // c, c, sy // c, c, sx // 32)
-    w = jax.lax.reduce(w, _U32(0), jax.lax.bitwise_or, (1, 3))
-    return _fold_x(w, sx, c)
+    def reduce_chunk(wc):
+        # OR words over the cxc (y,z) footprint via strided slices - NOT an
+        # interior (..., c, ..., c, ...) reshape, whose size-c minor dims
+        # pad to the (8, 128) TPU tile and inflate memory up to 64x
+        acc = None
+        for dz in range(c):
+            for dy in range(c):
+                part = wc[dz::c, dy::c, :]
+                acc = part if acc is None else acc | part
+        return _fold_x(acc, sx, c)
+
+    # chunk over z to bound _fold_x's (..., 32/c)-minor u32 temp, which
+    # pads its last dim to 128 lanes: ~128 * 4 bytes per coarse cell row
+    # entry.  Cap chunks at ~256 MB of padded temp.
+    padded_plane = (sy // c) * (sx // 32) * 128 * 4
+    chunk_out = max(1, (256 << 20) // max(padded_plane, 1))
+    chunk_z = c
+    while chunk_z * 2 <= chunk_out * c and sz % (chunk_z * 2) == 0 \
+            and chunk_z * 2 < sz:
+        chunk_z *= 2
+    if chunk_z >= sz:
+        return reduce_chunk(words)
+    out = jax.lax.map(reduce_chunk,
+                      words.reshape(sz // chunk_z, chunk_z, sy, sx // 32))
+    return out.reshape(sz // c, sy // c, sx // c)
 
 
 def _fold_x(w: jax.Array, sx: int, c: int) -> jax.Array:
