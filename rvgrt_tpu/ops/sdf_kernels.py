@@ -55,18 +55,26 @@ def _minconv_kernel(cap: int, n: int, padded_ref, out_ref):
 
 def minconv_axis1(dist_u8: jax.Array, cap: int) -> jax.Array:
     """min-plus conv along axis 1 of a uint8 (Z, Y, X) distance volume;
-    returns the uint8 distance volume of the combined metric."""
+    returns the uint8 distance volume of the combined metric.
+
+    Blocks over x as well as z: the conv runs along y only, and a full
+    1024-wide row at y=1024 needs ~29 MB of i32 stack in VMEM (the scoped
+    limit is 16 MB) - 256-lane x blocks keep it ~7 MB."""
     z, y, x = dist_u8.shape
     padded = jnp.pad(dist_u8, ((0, 0), (cap, cap), (0, 0)),
                      constant_values=_PAD)
+    xb = x
+    while xb > 256 and xb % 2 == 0:
+        xb //= 2
 
     return pl.pallas_call(
         functools.partial(_minconv_kernel, cap, y),
         out_shape=jax.ShapeDtypeStruct((z, y, x), jnp.uint8),
-        grid=(z,),
-        in_specs=[pl.BlockSpec((1, y + 2 * cap, x), lambda i: (i, 0, 0),
+        grid=(z, x // xb),
+        in_specs=[pl.BlockSpec((1, y + 2 * cap, xb),
+                               lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, y, x), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, y, xb), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
     )(padded)
 

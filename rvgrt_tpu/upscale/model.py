@@ -29,7 +29,11 @@ SCALE = 3  # 1280x800 -> 3840x2400
 
 
 def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
-    """Sample (H, W, C) at float pixel coords (clamped); x/y shaped (h, w)."""
+    """Sample (H, W, C) at float pixel coords (clamped); x/y shaped (h, w).
+
+    Gathers run channel-first: a (H, W, 3) gather output takes the
+    lanes-of-3 TPU layout (42.7x padding - 4.3 GB per tap at 3840x2400),
+    while (3, H, W) keeps the big dims minor."""
     h, w = img.shape[0], img.shape[1]
     x = jnp.clip(x, 0.0, w - 1.0)
     y = jnp.clip(y, 0.0, h - 1.0)
@@ -37,14 +41,48 @@ def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
     y0 = jnp.floor(y).astype(jnp.int32)
     x1 = jnp.minimum(x0 + 1, w - 1)
     y1 = jnp.minimum(y0 + 1, h - 1)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
-    a = img[y0, x0]
-    b = img[y0, x1]
-    c = img[y1, x0]
-    d = img[y1, x1]
-    return (a * (1 - fx) * (1 - fy) + b * fx * (1 - fy)
-            + c * (1 - fx) * fy + d * fx * fy)
+    fx = (x - x0)[None]
+    fy = (y - y0)[None]
+    cf = img.transpose(2, 0, 1)  # (C, H, W)
+    a = cf[:, y0, x0]
+    b = cf[:, y0, x1]
+    c = cf[:, y1, x0]
+    d = cf[:, y1, x1]
+    out = (a * (1 - fx) * (1 - fy) + b * fx * (1 - fy)
+           + c * (1 - fx) * fy + d * fx * fy)
+    return out.transpose(1, 2, 0)
+
+
+def _interleave_last(parts, s: int):
+    """[p_0..p_{s-1}] each (..., n) -> (..., s*n) with out[..., s*i + k] =
+    p_k[..., i].  repeat + masked select only - no (..., n, s) reshape,
+    whose size-s minor dim would pad to 128 lanes on TPU."""
+    n = parts[0].shape[-1]
+    idx = jnp.arange(s * n, dtype=jnp.int32) % s
+    out = None
+    for k, p in enumerate(parts):
+        rep = jnp.repeat(p, s, axis=-1)
+        sel = jnp.where(idx == k, rep, 0).astype(p.dtype)
+        out = sel if out is None else out + sel
+    return out
+
+
+def depth_to_space_cf(x_hwc: jnp.ndarray, s: int, c_out: int):
+    """(h, w, s*s*c_out) conv output -> (c_out, s*h, s*w) channel-first.
+
+    Equivalent to ``x.reshape(h, w, s, s, c) -> transpose -> (s*h, s*w, c)``
+    but built from big-minor-dim ops only: that reshape's (s, s) interior
+    dims tile-pad ~85x on TPU (6 GB at 3840x2400)."""
+    h, w = x_hwc.shape[0], x_hwc.shape[1]
+    cf = x_hwc.transpose(2, 0, 1)  # (s*s*c_out, h, w)
+    t = cf.reshape(s, s, c_out, h, w)
+    # columns: out[.., x*s + sj] = t[si, sj, .., x]
+    cols = [_interleave_last([t[si, sj] for sj in range(s)], s)
+            for si in range(s)]  # each (c_out, h, s*w)
+    # rows: out[.., y*s + si, ..] = cols[si][.., y, ..]
+    colsT = [c.transpose(0, 2, 1) for c in cols]  # (c_out, s*w, h)
+    rows = _interleave_last(colsT, s)  # (c_out, s*w, s*h)
+    return rows.transpose(0, 2, 1)  # (c_out, s*h, s*w)
 
 
 def warp_history(history: jnp.ndarray, motion_lowres: jnp.ndarray):
@@ -55,15 +93,16 @@ def warp_history(history: jnp.ndarray, motion_lowres: jnp.ndarray):
     position of out-pixel p is p - motion_px.
     """
     hh, hw = history.shape[0], history.shape[1]
-    lh, lw = motion_lowres.shape[0], motion_lowres.shape[1]
-    mv = jax.image.resize(motion_lowres, (hh, hw, 2), "nearest")
+    # resize per component: a (H, W, 2) resize temp takes the lanes-of-2
+    # layout (64x padding at display res)
+    mvx = jax.image.resize(motion_lowres[..., 0], (hh, hw), "nearest")
+    mvy = jax.image.resize(motion_lowres[..., 1], (hh, hw), "nearest")
     # NDC delta -> pixels at high res; NDC y is up, rows grow down, and the
     # buffer already negates y, so both axes map with +0.5 * size.
-    mvx = mv[..., 0] * (0.5 * hw)
-    mvy = mv[..., 1] * (0.5 * hh)
-    xs = jnp.arange(hw, dtype=_F32)[None, :] - mvx
-    ys = jnp.arange(hh, dtype=_F32)[:, None] - mvy
-    return bilinear_sample(history, xs, jnp.broadcast_to(ys, (hh, hw)))
+    xs = jnp.arange(hw, dtype=_F32)[None, :] - mvx * (0.5 * hw)
+    ys = jnp.arange(hh, dtype=_F32)[:, None] - mvy * (0.5 * hh)
+    return bilinear_sample(history, jnp.broadcast_to(xs, (hh, hw)),
+                           jnp.broadcast_to(ys, (hh, hw)))
 
 
 class UpscalerNet(nn.Module):
@@ -80,10 +119,15 @@ class UpscalerNet(nn.Module):
         # the warped history enters the FEATURE stack (space-to-depth to low
         # res, 3x3x3=27 channels), not just the output blend: the net must
         # see history-vs-current disagreement to predict a useful per-pixel
-        # blend weight (disocclusion rejection) and to sharpen the residual
-        hist_s2d = warped_history.reshape(
-            h, SCALE, w, SCALE, 3).transpose(0, 2, 1, 3, 4).reshape(
-            h, w, SCALE * SCALE * 3)
+        # blend weight (disocclusion rejection) and to sharpen the residual.
+        # Strided channel-first slices, not a (h, 3, w, 3, 3) reshape (its
+        # size-3 minor dims tile-pad ~42x on TPU); channel order (si, sj,
+        # rgb) matches the reshape formulation, so params stay compatible.
+        wh_cf = warped_history.transpose(2, 0, 1)  # (3, 3h, 3w)
+        hist_s2d = jnp.concatenate(
+            [wh_cf[:, si::SCALE, sj::SCALE]
+             for si in range(SCALE) for sj in range(SCALE)],
+            axis=0).transpose(1, 2, 0)  # (h, w, 27)
         x = jnp.concatenate([
             color.astype(self.dtype),
             motion.astype(self.dtype),
@@ -97,22 +141,26 @@ class UpscalerNet(nn.Module):
                         name=f"feat{i}")(x)
             x = nn.relu(x)
 
-        # 3x upsample: conv to 9*(C_out) channels -> depth_to_space
+        # 3x upsample: conv to 9*(C_out) channels -> depth_to_space.
+        # Everything at display res stays channel-first: (3H, 3W, small-c)
+        # intermediates take lanes-of-c layouts (42x padding) on TPU.
         c_out = 4  # rgb + history blend logit
         x = nn.Conv(SCALE * SCALE * c_out, (3, 3), dtype=self.dtype,
                     name="shuffle")(x)
-        x = x[0]
-        x = x.reshape(h, w, SCALE, SCALE, c_out)
-        x = x.transpose(0, 2, 1, 3, 4).reshape(h * SCALE, w * SCALE, c_out)
+        up = depth_to_space_cf(x[0], SCALE, c_out)  # (4, 3h, 3w)
 
-        rgb = x[..., :3].astype(_F32)
-        alpha = nn.sigmoid(x[..., 3].astype(_F32))[..., None]
+        rgb_cf = up[:3].astype(_F32)
+        alpha = nn.sigmoid(up[3].astype(_F32))[None]  # (1, 3h, 3w)
 
         # base: bilinear upsample of the low-res color as a residual anchor
-        base = jax.image.resize(color, (h * SCALE, w * SCALE, 3), "bilinear")
-        current = jnp.clip(base + rgb, 0.0, 1.0)
-        out = alpha * warped_history + (1.0 - alpha) * current
-        return jnp.clip(out, 0.0, 1.0), alpha[..., 0]
+        # (per channel - a (3H, 3W, 3) resize temp takes the bad layout)
+        base_cf = jnp.stack(
+            [jax.image.resize(color[..., c], (h * SCALE, w * SCALE),
+                              "bilinear") for c in range(3)])
+        current_cf = jnp.clip(base_cf + rgb_cf, 0.0, 1.0)
+        out_cf = alpha * wh_cf.astype(_F32) + (1.0 - alpha) * current_cf
+        return (jnp.clip(out_cf, 0.0, 1.0).transpose(1, 2, 0),
+                alpha[0])
 
 
 def init_params(key, height: int, width: int, features: int = 32):
