@@ -173,6 +173,18 @@ def update_gi(gi: jax.Array, bits, sdf, atlas, ecfg: EngineConfig,
                                         (offset.astype(jnp.int32),))
 
 
+def gi_delta(prev: jax.Array, new: jax.Array) -> jax.Array:
+    """Mean absolute per-channel radiance change between two GI grids, in
+    [0, 1] units - the convergence metric for BASELINE config 4 ("frames
+    to stable EMA").  The progressive EMA update is a contraction toward
+    the (slowly moving) fixed point, so this decays ~(1 - lr) per full
+    sweep once lighting is static."""
+    pr, pg, pb, _ = gi_grid.unpack_rgba8(prev)
+    nr, ng, nb, _ = gi_grid.unpack_rgba8(new)
+    return (jnp.abs(nr - pr) + jnp.abs(ng - pg) + jnp.abs(nb - pb)).mean() \
+        / 3.0
+
+
 def advance_offset(offset: int, ecfg: EngineConfig) -> int:
     """Round-robin window walk, wrapping at the grid size
     (CoarseArray.cu:392-394)."""

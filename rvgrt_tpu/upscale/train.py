@@ -44,18 +44,30 @@ def loss_fn(params, net: up_model.UpscalerNet, s: Sample):
     warped = up_model.warp_history(s.history, s.motion)
     out, _ = net.apply(params, s.color, s.motion, s.depth, s.jitter, warped)
     l1 = jnp.mean(jnp.abs(out - s.target))
-    return l1 + 0.5 * _grad_l1(out, s.target)
+    return l1 + 0.5 * _grad_l1(out, s.target), out
 
 
 @functools.partial(jax.jit, static_argnames=("net", "opt"))
 def train_step(params, opt_state, net, opt, s: Sample):
-    loss, grads = jax.value_and_grad(loss_fn)(params, net, s)
+    """One update; also returns the net output, for CLOSED-LOOP history.
+
+    Training must feed the net its own previous output as history, not the
+    ground-truth previous frame: with teacher-forced GT history the blend
+    weight degenerates to a constant (~0.4 measured) because blending GT
+    history always helps - which then blends 40% black at history resets
+    and compounds drift at inference."""
+    (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, net, s)
     updates, opt_state = opt.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
-    return params, opt_state, loss
+    return params, opt_state, loss, jax.lax.stop_gradient(out)
 
 
-def make_optimizer(lr: float = 1e-3):
+def make_optimizer(lr: float = 1e-3, decay_steps: int | None = None):
+    """Adam; with ``decay_steps``, cosine-decay the lr to 3% over the run."""
+    if decay_steps:
+        return optax.adam(optax.cosine_decay_schedule(lr, decay_steps,
+                                                      alpha=0.03))
     return optax.adam(lr)
 
 
@@ -118,24 +130,52 @@ def render_pair_dataset(ecfg, n_frames: int, low_w: int, low_h: int,
         history = out_hi.color
 
 
+def train_closed_loop(net, params, opt, opt_state, segments, steps: int,
+                      rng=None, verbose: bool = True):
+    """Closed-loop training: walk segments frame-by-frame, feeding the
+    net's own (stop-gradient) output back as the next frame's history -
+    the inference-time regime, including the zero-history segment start."""
+    import numpy as np
+
+    rng = rng or np.random.default_rng(0)
+    zero_hist = jnp.zeros_like(segments[0][0].history)
+    losses = []
+    i = 0
+    while i < steps:
+        seg = segments[rng.integers(len(segments))]
+        hist = zero_hist
+        for s in seg:
+            if i >= steps:
+                break
+            s = s._replace(history=hist)
+            params, opt_state, loss, out = train_step(params, opt_state,
+                                                      net, opt, s)
+            hist = out
+            losses.append(float(loss))
+            if verbose and i % 100 == 0:
+                print(f"step {i}: loss {losses[-1]:.4f}", flush=True)
+            i += 1
+    return params, opt_state, losses
+
+
 def train(ecfg, steps: int = 200, low_w: int = 128, low_h: int = 96,
-          lr: float = 1e-3, seed: int = 0, verbose: bool = True):
+          lr: float = 1e-3, seed: int = 0, verbose: bool = True,
+          segment_len: int = 12):
     """Train on freshly rendered pairs; returns (net, params, losses)."""
+    import numpy as np
+
     net, params = up_model.init_params(jax.random.PRNGKey(seed), low_h,
                                        low_w)
-    opt = make_optimizer(lr)
+    opt = make_optimizer(lr, decay_steps=steps)
     opt_state = opt.init(params)
-    losses = []
-    data = []
-    n_frames = min(steps, 32)
-    for s in render_pair_dataset(ecfg, n_frames, low_w, low_h):
-        data.append(s)
-    for i in range(steps):
-        s = data[i % len(data)]
-        params, opt_state, loss = train_step(params, opt_state, net, opt, s)
-        losses.append(float(loss))
-        if verbose and i % 20 == 0:
-            print(f"step {i}: loss {losses[-1]:.4f}")
+    n_frames = min(max(steps, segment_len), 48)
+    data = list(render_pair_dataset(ecfg, n_frames, low_w, low_h,
+                                    segment_len=segment_len))
+    segments = [data[i:i + segment_len]
+                for i in range(0, len(data), segment_len)]
+    params, opt_state, losses = train_closed_loop(
+        net, params, opt, opt_state, segments, steps,
+        rng=np.random.default_rng(seed), verbose=verbose)
     return net, params, losses
 
 
@@ -158,13 +198,21 @@ def psnr(a, b) -> float:
     return float(10.0 * jnp.log10(1.0 / mse))
 
 
-def evaluate(net, params, samples) -> dict:
-    """PSNR of the net vs plain bilinear upsampling on held-out pairs."""
+def evaluate(net, params, samples, closed_loop: bool = True) -> dict:
+    """PSNR of the net vs plain bilinear upsampling on held-out pairs.
+
+    ``closed_loop`` treats ``samples`` as one ordered segment and rolls the
+    net's own output as history starting from zeros - the inference
+    regime; otherwise each sample's stored history is used as-is."""
     net_psnrs, bil_psnrs = [], []
+    hist = jnp.zeros_like(samples[0].history)
     for s in samples:
+        if closed_loop:
+            s = s._replace(history=hist)
         warped = up_model.warp_history(s.history, s.motion)
         out, _ = net.apply(params, s.color, s.motion, s.depth, s.jitter,
                            warped)
+        hist = out
         bil = jax.image.resize(s.color, s.target.shape, "bilinear")
         net_psnrs.append(psnr(out, s.target))
         bil_psnrs.append(psnr(bil, s.target))
@@ -204,19 +252,22 @@ def main():
 
     net, params = up_family.init(args.variant, jax.random.PRNGKey(0),
                                  args.low_h, args.low_w)
-    opt = make_optimizer(1e-3)
+    opt = make_optimizer(1e-3, decay_steps=args.steps)
     opt_state = opt.init(params)
-    train_set, eval_set = data[:-4], data[-4:]
+    seg = 12
+    segments = [data[i:i + seg] for i in range(0, len(data), seg)]
+    train_segs, eval_segs = segments[:-2], segments[-2:]
     t0 = time.time()
-    for i in range(args.steps):
-        s = train_set[i % len(train_set)]
-        params, opt_state, loss = train_step(params, opt_state, net, opt, s)
-        if i % 50 == 0:
-            print(f"step {i}: loss {float(loss):.4f}", flush=True)
+    import numpy as np
+
+    params, opt_state, _ = train_closed_loop(
+        net, params, opt, opt_state, train_segs, args.steps,
+        rng=np.random.default_rng(0))
     print(f"trained {args.steps} steps in {time.time() - t0:.0f}s",
           flush=True)
-    metrics = evaluate(net, params, eval_set)
-    print("eval:", metrics, flush=True)
+    for k, es in enumerate(eval_segs):
+        print(f"eval segment {k}:", evaluate(net, params, es), flush=True)
+    metrics = evaluate(net, params, eval_segs[-1])
     save_params(params, args.out)
     print(f"saved {args.out}", flush=True)
 

@@ -180,3 +180,28 @@ def test_viewer_serves_frames_and_inputs():
         assert sum(i.mouse_dx for i in eng.seen) <= 3.5 + 1e-6
     finally:
         srv.stop()
+
+
+def test_gi_converges_to_stable_ema():
+    """BASELINE config-4 measure: the progressive GI fixed-point iteration
+    must contract - per-sweep mean radiance change decreases and late
+    sweeps are ~stable."""
+    from rvgrt_tpu.driver.engine import build_world
+    from rvgrt_tpu.world import voxel_grid as vg
+
+    ecfg = EngineConfig(world=WorldConfig().with_cube(5),
+                        gi_rays_per_frame=WorldConfig().with_cube(5)
+                        .gi_num_cells)  # full sweep per frame
+    world = build_world(ecfg, verbose=False, init_gi=True)
+    gi = world.gi
+    deltas = []
+    for sweep in range(10):
+        new = gi_update.update_gi(gi, world.bits, world.sdf, world.atlas,
+                                  ecfg, jnp.uint32(sweep), jnp.int32(0),
+                                  sky_y=world.sky_y,
+                                  table=world.trace_table)
+        deltas.append(float(gi_update.gi_delta(gi, new)))
+        gi = new
+    # contraction: the late-sweep average change is well below the early one
+    assert np.mean(deltas[6:]) <= np.mean(deltas[:3]) + 1e-6, deltas
+    assert deltas[-1] < 0.02, deltas

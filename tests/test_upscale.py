@@ -54,8 +54,9 @@ def test_train_step_reduces_loss():
     ost = opt.init(params)
     losses = []
     for _ in range(10):
-        params, ost, loss = tr.train_step(params, ost, net, opt, s)
+        params, ost, loss, out = tr.train_step(params, ost, net, opt, s)
         losses.append(float(loss))
+    assert out.shape == s.target.shape
     assert losses[-1] < losses[0] * 0.8, losses
 
 
@@ -69,12 +70,12 @@ def test_upscaler_beats_nearest_after_training():
         np.stack([(yy // 3 + xx // 3) % 2] * 3, -1).astype(np.float32))
     s = tr.Sample(color=i["color"], motion=i["motion"], depth=i["depth"],
                   jitter=i["jitter"], history=i["history"], target=target)
-    loss0 = float(tr.loss_fn(params, net, s))
+    loss0 = float(tr.loss_fn(params, net, s)[0])
     opt = tr.make_optimizer(1e-2)
     ost = opt.init(params)
     for _ in range(25):
-        params, ost, _ = tr.train_step(params, ost, net, opt, s)
-    loss1 = float(tr.loss_fn(params, net, s))
+        params, ost, _, _ = tr.train_step(params, ost, net, opt, s)
+    loss1 = float(tr.loss_fn(params, net, s)[0])
     assert loss1 < loss0
 
 
