@@ -95,15 +95,14 @@ def main():
     if upscale:
         from rvgrt_tpu.upscale import model as up_model
 
-        up_net, up_params = up_model.init_params(
-            jax.random.PRNGKey(0), height, width)
         ckpt = os.path.join(os.path.dirname(__file__),
                             "checkpoints", "upscaler.pkl")
         if os.path.exists(ckpt):
-            from rvgrt_tpu.driver import checkpoint as ck
-
-            up_params = jax.tree.map(jnp.asarray, ck.load_params(ckpt))
-            log(f"loaded trained upscaler params from {ckpt}")
+            up_net, up_params = up_model.load_checkpoint(ckpt)
+            log(f"loaded trained upscaler from {ckpt}")
+        else:
+            up_net, up_params = up_model.init_params(
+                jax.random.PRNGKey(0), height, width)
         history = jnp.zeros((height * up_model.SCALE,
                              width * up_model.SCALE, 3), jnp.float32)
 

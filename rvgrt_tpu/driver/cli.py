@@ -140,14 +140,11 @@ def main(argv=None):
     if args.upscale:
         from rvgrt_tpu.upscale import model as up_model
 
-        net = up_model.UpscalerNet()
         if args.upscale == "fresh":
-            _, params = up_model.init_params(
+            net, params = up_model.init_params(
                 jax.random.PRNGKey(0), ecfg.render.height, ecfg.render.width)
         else:
-            from rvgrt_tpu.driver import checkpoint
-
-            params = checkpoint.load_params(args.upscale)
+            net, params = up_model.load_checkpoint(args.upscale)
         hh = ecfg.render.height * up_model.SCALE
         hw = ecfg.render.width * up_model.SCALE
 

@@ -145,7 +145,19 @@ class UpscalerNet(nn.Module):
         # Everything at display res stays channel-first: (3H, 3W, small-c)
         # intermediates take lanes-of-c layouts (42x padding) on TPU.
         c_out = 4  # rgb + history blend logit
+
+        def _shuffle_bias(key, shape, dtype=jnp.float32):
+            # rgb residual channels start at 0 and the blend logit at -3
+            # (alpha ~= 0.05): the net's initial output is exactly the
+            # bilinear anchor, so training can only improve on bilinear -
+            # a noisy-residual start measurably WORSE than bilinear never
+            # recovers at this model size
+            b = jnp.zeros(shape, dtype)
+            return b.at[3::c_out].set(-3.0)
+
         x = nn.Conv(SCALE * SCALE * c_out, (3, 3), dtype=self.dtype,
+                    kernel_init=nn.initializers.zeros,
+                    bias_init=_shuffle_bias,
                     name="shuffle")(x)
         up = depth_to_space_cf(x[0], SCALE, c_out)  # (4, 3h, 3w)
 
@@ -182,3 +194,27 @@ def upscale(net: UpscalerNet, params, color, motion, depth, jitter,
     warped = warp_history(history, motion)
     out, alpha = net.apply(params, color, motion, depth, jitter, warped)
     return out, alpha
+
+
+def load_checkpoint(path: str):
+    """(net, params) from a checkpoint file.
+
+    Accepts both raw param pytrees (default up-m architecture) and
+    variant-tagged dicts ``{"variant": name, "params": ...}`` written by
+    the trainer."""
+    import jax
+
+    import jax.numpy as jnp
+
+    from rvgrt_tpu.driver import checkpoint as ck
+
+    blob = ck.load_params(path)
+    if isinstance(blob, dict) and "variant" in blob:
+        from rvgrt_tpu.models import upscaler as up_family
+
+        net = up_family.build(blob["variant"])
+        params = blob["params"]
+    else:
+        net = UpscalerNet()
+        params = blob
+    return net, jax.tree.map(jnp.asarray, params)

@@ -97,6 +97,12 @@ def render_pair_dataset(ecfg, n_frames: int, low_w: int, low_h: int,
     lo = Engine(lo_cfg, include_gi=include_gi, verbose=False)
     hi = Engine(hi_cfg, include_gi=include_gi, verbose=False)
     hi.world = lo.world  # share the device-resident world
+    # the TARGET is the unjittered high-res signal: a jittered target
+    # sub-pixel-shifts every frame, which punishes history reuse and blurs
+    # what the net can learn.  The low-res INPUT keeps its jitter (the
+    # DLSS input contract - the known sub-pixel offset is the signal that
+    # makes temporal super-resolution possible).
+    hi.character.use_jitter = False
     spawn = spawn_above_terrain(lo)
     hi.character.position = spawn.copy()
     hi.character.pitch = lo.character.pitch
@@ -115,9 +121,14 @@ def render_pair_dataset(ecfg, n_frames: int, low_w: int, low_h: int,
     history = zero_hist
     for i in range(n_frames):
         if segment_len and i % segment_len == 0 and i:
-            # new heading + fresh history each segment
+            # new heading + fresh history each segment; pitch resets into a
+            # downward-looking band (the pitch-up move otherwise ratchets
+            # toward PITCH_MAX and late segments render featureless sky,
+            # which poisons both training and eval)
             lo.character.yaw = float(rng.uniform(-3.14, 3.14))
+            lo.character.pitch = float(rng.uniform(-3.9, -3.3))
             hi.character.yaw = lo.character.yaw
+            hi.character.pitch = lo.character.pitch
             hi.character.position = lo.character.position.copy()
             history = zero_hist
         inputs = moves[(i // max(segment_len, 1)) % len(moves)]
@@ -268,8 +279,9 @@ def main():
     for k, es in enumerate(eval_segs):
         print(f"eval segment {k}:", evaluate(net, params, es), flush=True)
     metrics = evaluate(net, params, eval_segs[-1])
-    save_params(params, args.out)
-    print(f"saved {args.out}", flush=True)
+    save_params({"variant": args.variant, "params": jax.device_get(params)},
+                args.out)
+    print(f"saved {args.out} ({args.variant})", flush=True)
 
 
 if __name__ == "__main__":
