@@ -127,3 +127,71 @@ def test_split_gi_dispatch_matches_fused(engine):
     # non-color outputs are produced by the same base pass
     np.testing.assert_array_equal(np.asarray(base.depth),
                                   np.asarray(fused.depth))
+
+
+def test_image_golden_vs_scalar_renderer():
+    """Image-level PSNR gate (SURVEY §4): the vectorized no-GI frame must
+    match a per-pixel scalar implementation of the same reference-semantics
+    pipeline (cascade start, prepass, conservative upsample, water Fresnel,
+    atlas block IDs, fog) to high PSNR."""
+    import jax.numpy as jnp
+
+    from rvgrt_tpu.driver.engine import camera_arrays
+    from rvgrt_tpu.render.pipeline import render_frame
+    from rvgrt_tpu.scene.camera import Camera
+    from rvgrt_tpu.world import gi_grid, sdf as sdf_mod
+    from tests.golden import scalar_render, scalar_trace
+    from rvgrt_tpu.config import EngineConfig, RenderConfig, WorldConfig
+
+    ecfg = EngineConfig(world=WorldConfig().with_cube(6),
+                        render=dataclasses.replace(RenderConfig(),
+                                                   width=64, height=48))
+    cfg = ecfg.world
+    bits = vg.generate(cfg)
+    coarse = vg.coarse_occupancy(bits, cfg)
+    sdf = sdf_mod.build_sdf(coarse, cfg)
+    from rvgrt_tpu.world import atlas as atlas_mod
+
+    atlas = atlas_mod.procedural_atlas()
+    r, g, b, _ = gi_grid.unpack_rgba8(atlas)
+    atlas_rgb = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)],
+                         axis=-1).reshape(256, 256, 3).astype(np.float32)
+
+    # camera over the eastern ocean shelf looking across water toward
+    # the mountains (deterministic world: exercises water + solid + sky)
+    pos = np.array([63.0, 45.0, 49.0], np.float32)
+    fwd = np.array([-0.85, -0.5, 0.2], np.float32)
+    fwd /= np.linalg.norm(fwd)
+    wup = np.array([0.0, 1.0, 0.0], np.float32)
+    right = np.cross(fwd, wup); right /= np.linalg.norm(right)
+    up = np.cross(fwd, right); up /= np.linalg.norm(up)
+    cam = camera_arrays(Camera(pos=pos, forward=fwd,
+                               right=right.astype(np.float32),
+                               up=up.astype(np.float32)), time_s=0.0)
+
+    out = render_frame(bits, sdf, gi_grid.zeros(cfg), atlas, cam, ecfg,
+                       include_gi=False)
+    got = np.asarray(out.color)
+
+    solid = np.asarray(vg.unpack_bits_x(
+        np.asarray(bits).reshape(cfg.size_z, cfg.size_y, cfg.size_x // 32)))
+    sdf_np = np.asarray(sdf).reshape(cfg.sdf_size_z, cfg.sdf_size_y,
+                                     cfg.sdf_size_x)
+    world = scalar_trace.ScalarWorld(solid, sdf_np, cfg.sdf_coarseness)
+    want = scalar_render.render_frame_scalar(
+        world, atlas_rgb, tuple(pos), tuple(fwd), tuple(right), tuple(up),
+        ecfg, time=0.0)
+
+    # the view must exercise hits and sky (identity VP: depth = hit z for
+    # hits, exactly 1.0 for misses)
+    hit = np.asarray(out.depth) != 1.0
+    assert 0.1 < hit.mean() < 1.0
+    # and the water path specifically (the Fresnel/reflection branch)
+    assert (np.asarray(want[..., 2] > want[..., 0]) & hit).mean() > 0.0
+    mse = float(np.mean((got - want) ** 2))
+    psnr = 99.0 if mse == 0 else 10.0 * math.log10(1.0 / mse)
+    # a handful of boundary-grazing rays may diverge (FMA reassociation);
+    # the image as a whole must match to high fidelity
+    frac_off = float((np.abs(got - want).max(axis=-1) > 0.02).mean())
+    assert psnr > 35.0, (psnr, frac_off)
+    assert frac_off < 0.02, (psnr, frac_off)
