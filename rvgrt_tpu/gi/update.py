@@ -115,12 +115,18 @@ def update_gi(gi: jax.Array, bits, sdf, atlas, ecfg: EngineConfig,
     idx = idx.reshape(-1, min(n, 4096))
     wx, wy, wz = gi_grid.cell_world_centers(cfg, idx)
 
-    # cells inside solid voxels are skipped (kept unchanged, line 296-300)
+    # cells inside solid voxels are skipped (kept unchanged, line 296-300);
+    # park their rays out of bounds so they init-retire instead of tracing
+    # to a discarded result (roughly half the window is buried in terrain
+    # worlds - measured 880 -> ~500 ms per 64^3-cell update at 512^3)
     inside = voxel_grid.is_solid(
         bits, cfg,
         jnp.floor(wx).astype(jnp.int32),
         jnp.floor(wy).astype(jnp.int32),
         jnp.floor(wz).astype(jnp.int32))
+    wx = jnp.where(inside, _F32(-10.0), wx)
+    wy = jnp.where(inside, _F32(-10.0), wy)
+    wz = jnp.where(inside, _F32(-10.0), wz)
 
     sun = lcfg.sun_dir
     shadow = wavefront.trace(bits, sdf, cfg, rcfg, wx, wy, wz,

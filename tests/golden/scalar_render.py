@@ -140,21 +140,34 @@ def render_frame_scalar(world: st.ScalarWorld, atlas_rgb, cam_pos, forward,
                 lx = min(max(off + q * j, 0), hw - 1)
                 d = ray_dir((lx + 0.5) / hw, (gy + 0.5) / hh)
                 cdist[i, j] = hit_dist(trace_q(d, 0.0))
-        # conservative min-expand (index plumbing; reuse the jnp helper)
-        import jax.numpy as jnp
+        # conservative min-expand: out[y] = min over delta in {-1,0,1,2} of
+        # coarse[clip(i0(y) + delta)] with i0(y) = floor((y - off) / q)
+        # (numpy twin of pipeline._min_expand_axis / _phase_expand)
+        def min_expand(c, n_out, axis):
+            nc = c.shape[axis]
+            out = None
+            for y_idx in range(n_out):
+                i0 = (y_idx - off) // q if y_idx >= off else -1
+                vals = [np.take(c, min(max(i0 + dlt, 0), nc - 1), axis=axis)
+                        for dlt in (-1, 0, 1, 2)]
+                v = np.minimum(np.minimum(vals[0], vals[1]),
+                               np.minimum(vals[2], vals[3]))
+                v = np.expand_dims(v, axis)
+                out = v if out is None else np.concatenate([out, v], axis)
+            return out
 
-        from rvgrt_tpu.render import pipeline as pl
-
-        m = pl._min_expand_axis(jnp.asarray(cdist), q, off, hrows, 0)
-        m = pl._min_expand_axis(m, q, off, hw, 1)
-        start_half = np.maximum(np.asarray(m) - F(rcfg.dist_bias), 0.0)
+        m = min_expand(cdist, hrows, 0)
+        m = min_expand(m, hw, 1)
+        start_half = np.maximum(m - F(rcfg.dist_bias), 0.0).astype(F)
     else:
         start_half = np.zeros((hrows, hw), F)
 
     # ---- half-res prepass: dist - 8 (miss 300) + shadow factor ----
+    # only rows < hneed are consumed downstream (the pipeline's extra
+    # tile-padding rows are duplicates it slices off); skip tracing them
     half_dist = np.zeros((hrows, hw), F)
     half_shadow = np.ones((hrows, hw), F)
-    for i in range(hrows):
+    for i in range(hneed):
         gy = min(max(hy0 + i, 0), hh - 1)
         for j in range(hw):
             d = ray_dir((j + 0.5) / hw, (gy + 0.5) / hh)
@@ -179,10 +192,13 @@ def render_frame_scalar(world: st.ScalarWorld, atlas_rgb, cam_pos, forward,
 
     # ---- full-res primary + shading ----
     img = np.zeros((H, W, 3), F)
+    n_hit = n_water = 0
     for y in range(H):
         for x in range(W):
             d = ray_dir(x / W, y / H)
             h = st.trace(world, cam_pos, d, start_full[y, x])
+            n_hit += int(h.hit)
+            n_water += int(h.hit and h.pos[1] < lcfg.water_level)
             if not h.hit:
                 col = sample_sky(d, lcfg)
             elif h.pos[1] < lcfg.water_level:
@@ -220,4 +236,5 @@ def render_frame_scalar(world: st.ScalarWorld, atlas_rgb, cam_pos, forward,
                 fog = F(math.exp(-dist * lcfg.fog_density))
                 col = col * fog + np.array(lcfg.fog_color, F) * (1.0 - fog)
             img[y, x] = np.clip(col, 0.0, 1.0)
-    return img
+    stats = {"hit_frac": n_hit / (H * W), "water_frac": n_water / (H * W)}
+    return img, stats
