@@ -82,17 +82,20 @@ def _pack(valid, fields, capacity: int, id_sentinel: int):
     return out, ok
 
 
-def trace_volume_sharded(tables: jax.Array, cfg: WorldConfig,
-                         rcfg: RenderConfig, mesh: Mesh,
-                         ox, oy, oz, dx, dy, dz, t0,
-                         sky_y=None, axis: str = "z",
-                         rounds: int | None = None) -> wavefront.TraceResult:
-    """Trace flat ray arrays against the z-slab-sharded world.
+def trace_ring(tbl: jax.Array, cfg: WorldConfig, rcfg: RenderConfig,
+               n_shards: int, ox, oy, oz, dx, dy, dz, t0,
+               sky_y=None, axis: str = "z",
+               rounds: int | None = None) -> dict:
+    """Per-device body of the volume-sharded trace: claim rays whose march
+    start lies in this device's z-slab, trace against the local table,
+    hand slab-crossers to the z neighbors over the ``axis`` ring, repeat;
+    returns psum-merged (replicated) result arrays of length cap >= N.
 
-    Inputs are replicated 1-D arrays of equal length N; returns a
-    TraceResult of replicated (N,) arrays (exit_dir always 0).
+    Must run INSIDE a ``shard_map`` over ``axis`` (``trace_volume_sharded``
+    wraps it for standalone use; ``render_frame_volume`` calls it per
+    pipeline trace).  Ray inputs must be identical on every device.
     """
-    n = mesh.shape[axis]
+    n = n_shards
     lcfg = local_config(cfg, n)
     slab = float(cfg.size_z // n)
     rounds = (n + 2) if rounds is None else rounds
@@ -111,7 +114,7 @@ def trace_volume_sharded(tables: jax.Array, cfg: WorldConfig,
     # them could round a resumed ray back across the slab face forever)
     rt0 = pad(jnp.asarray(t0, _F32).astype(jnp.float16).astype(_F32), 0.0)
 
-    def shard_fn(tbl):
+    if True:  # (kept indentation of the former closure)
         zi = jax.lax.axis_index(axis)
         z0 = zi.astype(_F32) * _F32(slab)
         is_first = zi == 0
@@ -206,11 +209,8 @@ def trace_volume_sharded(tables: jax.Array, cfg: WorldConfig,
                                         None, length=rounds)
         return {k: jax.lax.psum(v, axis) for k, v in out.items()}
 
-    fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(axis),),
-                   out_specs={k: P() for k in
-                              ("hit", "px", "py", "pz", "nx", "ny", "nz",
-                               "uv_u", "uv_v", "its", "t")})
-    out = fn(tables)
+
+def _ring_result(out: dict, N: int) -> wavefront.TraceResult:
     miss = out["hit"][:N] == 0
     fix = lambda v: v[:N]
     return wavefront.TraceResult(
@@ -221,4 +221,76 @@ def trace_volume_sharded(tables: jax.Array, cfg: WorldConfig,
         nx=fix(out["nx"]), ny=fix(out["ny"]), nz=fix(out["nz"]),
         uv_u=fix(out["uv_u"]), uv_v=fix(out["uv_v"]),
         its=fix(out["its"]), t=fix(out["t"]),
-        exit_dir=jnp.zeros((N,), _I32))
+        exit_dir=jnp.zeros((N,), _I32), steps=jnp.zeros((N,), _I32))
+
+
+def trace_volume_sharded(tables: jax.Array, cfg: WorldConfig,
+                         rcfg: RenderConfig, mesh: Mesh,
+                         ox, oy, oz, dx, dy, dz, t0,
+                         sky_y=None, axis: str = "z",
+                         rounds: int | None = None) -> wavefront.TraceResult:
+    """Trace flat ray arrays against the z-slab-sharded world.
+
+    Inputs are replicated 1-D arrays of equal length N; returns a
+    TraceResult of replicated (N,) arrays (exit_dir always 0).
+    """
+    n = mesh.shape[axis]
+    N = ox.shape[0]
+
+    def shard_fn(tbl):
+        return trace_ring(tbl, cfg, rcfg, n, ox, oy, oz, dx, dy, dz, t0,
+                          sky_y=sky_y, axis=axis, rounds=rounds)
+
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(axis),),
+                   out_specs={k: P() for k in
+                              ("hit", "px", "py", "pz", "nx", "ny", "nz",
+                               "uv_u", "uv_v", "its", "t")})
+    return _ring_result(fn(tables), N)
+
+
+def render_frame_volume(tables: jax.Array, sdf_replicated, gi, atlas,
+                        cam, ecfg, mesh: Mesh, include_gi: bool = True,
+                        sky_y=None, axis: str = "z",
+                        rounds: int | None = None):
+    """Full per-frame pipeline against the z-slab-sharded world.
+
+    Every ray cast the pipeline issues (cascade, prepass, shadows, primary,
+    water pair) runs through the ray-handoff ring; shading/composition is
+    computed redundantly on every device from the psum-merged trace
+    results.  World MEMORY is what this shards (the bits + per-slab tables
+    live sharded); the coarse SDF is replicated for the GI cone march -
+    1/8 the bit volume in bytes.  Correctness-first, like
+    ``trace_volume_sharded``; returns replicated FrameOutputs.
+    """
+    from rvgrt_tpu.render import pipeline
+
+    n = mesh.shape[axis]
+    cfg, rcfg = ecfg.world, ecfg.render
+
+    def shard_fn(tbl, sdf_rep, gi_rep, atlas_rep, cam_rep):
+        def trace_fn(ox, oy, oz, dx, dy, dz, t0):
+            shape = jnp.broadcast_shapes(
+                jnp.shape(ox), jnp.shape(oy), jnp.shape(oz),
+                jnp.shape(dx), jnp.shape(dy), jnp.shape(dz),
+                jnp.shape(t0))
+            flat = [jnp.broadcast_to(jnp.asarray(a, jnp.float32),
+                                     shape).reshape(-1)
+                    for a in (ox, oy, oz, dx, dy, dz, t0)]
+            out = trace_ring(tbl, cfg, rcfg, n, *flat, sky_y=sky_y,
+                             axis=axis, rounds=rounds)
+            res = _ring_result(out, flat[0].shape[0])
+            return jax.tree.map(lambda a: a.reshape(shape), res)
+
+        return pipeline.render_slab(
+            None, sdf_rep, gi_rep, atlas_rep, cam_rep, ecfg,
+            y0=jnp.int32(0), slab_h=rcfg.height, include_gi=include_gi,
+            sky_y=sky_y, trace_fn=trace_fn)
+
+    rep = P()
+    from rvgrt_tpu.render.pipeline import CameraArrays, FrameOutputs
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), rep, rep, rep, CameraArrays(*([rep] * 8))),
+        out_specs=FrameOutputs(*([rep] * 5)))
+    return fn(tables, sdf_replicated, gi, atlas, cam)

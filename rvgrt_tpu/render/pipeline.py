@@ -113,15 +113,29 @@ def _ray_dirs(cam: CameraArrays, width: int, height: int,
     return dx * inv, dy * inv, dz * inv
 
 
-def _shadow_trace(bits, sdf, cfg, rcfg, hit, hpos, normal, sun,
-                  offset: float, table=None, sky_y=None):
+def make_trace_fn(bits, sdf, cfg, rcfg, table=None, sky_y=None):
+    """Default ray-cast closure: single-device wavefront trace.
+
+    Every trace the pipeline issues goes through a ``trace_fn(ox, oy, oz,
+    dx, dy, dz, t0) -> TraceResult`` so the same pipeline renders against
+    a z-slab volume-sharded world (parallel/volume.py provides the
+    ring-handoff closure)."""
+    if table is None:
+        table = wavefront.make_trace_table(bits, sdf, cfg)
+
+    def trace_fn(ox, oy, oz, dx, dy, dz, t0):
+        return wavefront.trace(None, None, cfg, rcfg, ox, oy, oz,
+                               dx, dy, dz, t0, table=table, sky_y=sky_y)
+
+    return trace_fn
+
+
+def _shadow_trace(trace_fn, hit, hpos, normal, sun, offset: float):
     """Sun-shadow ray from hit + normal*offset; misses parked OOB."""
     ox = jnp.where(hit, hpos[0] + normal[0] * offset, _F32(-10.0))
     oy = jnp.where(hit, hpos[1] + normal[1] * offset, _F32(-10.0))
     oz = jnp.where(hit, hpos[2] + normal[2] * offset, _F32(-10.0))
-    res = wavefront.trace(bits, sdf, cfg, rcfg, ox, oy, oz,
-                          sun[0], sun[1], sun[2], jnp.zeros_like(ox),
-                          table=table, sky_y=sky_y)
+    res = trace_fn(ox, oy, oz, sun[0], sun[1], sun[2], jnp.zeros_like(ox))
     return res.hit
 
 
@@ -135,8 +149,7 @@ def _min_expand_axis(c, q: int, off: int, n_out: int, axis: int):
     return m[tuple(sl)]
 
 
-def _cascade_start(bits, sdf, cfg, rcfg, cam: CameraArrays, hy0, hrows: int,
-                   table, sky_y):
+def _cascade_start(trace_fn, rcfg, cam: CameraArrays, hy0, hrows: int):
     """Start distances for the half-res prepass from an even coarser trace.
 
     The reference starts its half-res prepass at distance 0
@@ -168,11 +181,10 @@ def _cascade_start(bits, sdf, cfg, rcfg, cam: CameraArrays, hy0, hrows: int,
     dy = cam.forward[1] + ndc_x * cam.right[1] + ndc_y * cam.up[1]
     dz = cam.forward[2] + ndc_x * cam.right[2] + ndc_y * cam.up[2]
     inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
-    res = wavefront.trace(bits, sdf, cfg, rcfg,
-                          cam.pos[0], cam.pos[1], cam.pos[2],
-                          dx * inv, dy * inv, dz * inv,
-                          jnp.zeros((crows, ccols), _F32),
-                          table=table, sky_y=sky_y)
+    res = trace_fn(cam.pos[0] + jnp.zeros((crows, ccols), _F32),
+                   cam.pos[1], cam.pos[2],
+                   dx * inv, dy * inv, dz * inv,
+                   jnp.zeros((crows, ccols), _F32))
     d = jnp.sqrt((res.px - cam.pos[0]) ** 2 + (res.py - cam.pos[1]) ** 2
                  + (res.pz - cam.pos[2]) ** 2)
     dist = jnp.where(res.hit, d, _F32(rcfg.miss_distance))
@@ -183,29 +195,28 @@ def _cascade_start(bits, sdf, cfg, rcfg, cam: CameraArrays, hy0, hrows: int,
 
 def half_res_prepass(bits, sdf, cfg, rcfg, lcfg, cam: CameraArrays,
                      hy0=0, hrows: int | None = None, table=None,
-                     sky_y=None):
+                     sky_y=None, trace_fn=None):
     """distApproximationKernel (StateRender.cu:255-286): distance - 8
     (miss -> 300) and hard shadow factor at half render resolution.
     ``hy0``/``hrows`` select a half-res row slab (edge-clamped)."""
+    if trace_fn is None:
+        trace_fn = make_trace_fn(bits, sdf, cfg, rcfg, table=table,
+                                 sky_y=sky_y)
     hw, hh = rcfg.half_width, rcfg.half_height
     hrows = hh if hrows is None else hrows
     dx, dy, dz = _ray_dirs(cam, hw, hh, pixel_center=True, y0=hy0,
                            rows=hrows)
-    start = _cascade_start(bits, sdf, cfg, rcfg, cam, hy0, hrows, table,
-                           sky_y)
-    res = wavefront.trace(bits, sdf, cfg, rcfg,
-                          cam.pos[0], cam.pos[1], cam.pos[2],
-                          dx, dy, dz, start,
-                          table=table, sky_y=sky_y)
+    start = _cascade_start(trace_fn, rcfg, cam, hy0, hrows)
+    res = trace_fn(cam.pos[0] + jnp.zeros_like(dx), cam.pos[1], cam.pos[2],
+                   dx, dy, dz, start)
     d = jnp.sqrt((res.px - cam.pos[0]) ** 2 + (res.py - cam.pos[1]) ** 2
                  + (res.pz - cam.pos[2]) ** 2)
     dist = jnp.where(res.hit, d, _F32(rcfg.miss_distance))
 
     sun = vm.splat(lcfg.sun_dir, res.hit.shape)
-    shadow_hit = _shadow_trace(bits, sdf, cfg, rcfg, res.hit,
+    shadow_hit = _shadow_trace(trace_fn, res.hit,
                                (res.px, res.py, res.pz),
-                               (res.nx, res.ny, res.nz), sun, offset=1e-1,
-                               table=table, sky_y=sky_y)
+                               (res.nx, res.ny, res.nz), sun, offset=1e-1)
     shadow = jnp.where(res.hit & shadow_hit, _F32(lcfg.shadow_factor),
                        _F32(1.0))
     return dist - _F32(rcfg.dist_bias), shadow
@@ -396,7 +407,7 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
                 ecfg: EngineConfig, y0, slab_h: int,
                 include_gi: bool = True, gi_occ=None,
                 sky_y=None, table=None,
-                return_gbuffer: bool = False) -> FrameOutputs:
+                return_gbuffer: bool = False, trace_fn=None) -> FrameOutputs:
     """Render rows [y0, y0 + slab_h) of the frame.
 
     The unit of pixel-parallel work: a full frame is one slab; a sharded
@@ -410,8 +421,9 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
     # the combined tracer gather table should be built ONCE per world
     # (brick repack + ~260 MB materialization at 1024^3 scale) and passed
     # in; building here keeps ad-hoc callers working
-    if table is None:
-        table = wavefront.make_trace_table(bits, sdf, cfg)
+    if trace_fn is None:
+        trace_fn = make_trace_fn(bits, sdf, cfg, rcfg, table=table,
+                                 sky_y=sky_y)
 
     # ---- 1+2: half-res prepass (with halo) and conservative upsamples ----
     hy0 = jnp.asarray(y0, jnp.int32) // 2 - 1
@@ -425,7 +437,7 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
     hrows = -(-hneed // t) * t
     half_dist, half_shadow = half_res_prepass(bits, sdf, cfg, rcfg, lcfg,
                                               cam, hy0=hy0, hrows=hrows,
-                                              table=table, sky_y=sky_y)
+                                              trace_fn=trace_fn)
     half_dist = half_dist[:hneed]
     half_shadow = half_shadow[:hneed]
     start_dist = _min_dist_upsample_slab(half_dist, slab_h)
@@ -434,9 +446,8 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
     # ---- 3: full-res primary ----
     dx, dy, dz = _ray_dirs(cam, w, rcfg.height, pixel_center=False,
                            y0=y0, rows=slab_h)
-    res = wavefront.trace(bits, sdf, cfg, rcfg,
-                          cam.pos[0], cam.pos[1], cam.pos[2],
-                          dx, dy, dz, start_dist, table=table, sky_y=sky_y)
+    res = trace_fn(cam.pos[0] + jnp.zeros_like(dx), cam.pos[1], cam.pos[2],
+                   dx, dy, dz, start_dist)
     hit = res.hit
     hpos = (res.px, res.py, res.pz)
     normal = (res.nx, res.ny, res.nz)
@@ -455,16 +466,15 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
         rox = jnp.where(is_water, res.px, _F32(-10.0))
         roy = jnp.where(is_water, res.py, _F32(-10.0))
         roz = jnp.where(is_water, res.pz, _F32(-10.0))
-        refl = wavefront.trace(bits, sdf, cfg, rcfg, rox, roy, roz,
-                               refl_dir[0], refl_dir[1], refl_dir[2],
-                               jnp.full(hit.shape, 0.001, _F32), table=table,
-                               sky_y=sky_y)
+        refl = trace_fn(rox, roy, roz,
+                        refl_dir[0], refl_dir[1], refl_dir[2],
+                        jnp.full(hit.shape, 0.001, _F32))
         refl_albedo = vm.v3(*atlas_mod.sample_texture(
             atlas, refl.uv_u, refl.uv_v, refl.px, refl.py, refl.pz))
         refl_shadow_hit = _shadow_trace(
-            bits, sdf, cfg, rcfg, is_water & refl.hit,
+            trace_fn, is_water & refl.hit,
             (refl.px, refl.py, refl.pz), (refl.nx, refl.ny, refl.nz), sun,
-            offset=1e-3, table=table, sky_y=sky_y)
+            offset=1e-3)
         refl_solid_col = vm.where(refl_shadow_hit,
                                   vm.scale(refl_albedo, 0.1), refl_albedo)
         refl_col = vm.where(refl.hit, refl_solid_col,
@@ -540,12 +550,13 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
 def render_frame(bits, sdf, gi, atlas, cam: CameraArrays,
                  ecfg: EngineConfig, include_gi: bool = True,
                  gi_occ=None, sky_y=None, table=None,
-                 return_gbuffer: bool = False) -> FrameOutputs:
+                 return_gbuffer: bool = False, trace_fn=None) -> FrameOutputs:
     """Full frame = one slab covering every row."""
     return render_slab(bits, sdf, gi, atlas, cam, ecfg,
                        y0=jnp.int32(0), slab_h=ecfg.render.height,
                        include_gi=include_gi, gi_occ=gi_occ, sky_y=sky_y,
-                       table=table, return_gbuffer=return_gbuffer)
+                       table=table, return_gbuffer=return_gbuffer,
+                       trace_fn=trace_fn)
 
 
 def gi_composite(color, gb: GBuffer, gi, sdf, ecfg: EngineConfig,

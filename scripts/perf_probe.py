@@ -129,8 +129,9 @@ def main():
 
     # ---- 2. stages ----
     def cascade(tbl, sy):
-        return pipeline._cascade_start(None, None, cfg, rcfg, cam, 0,
-                                       rcfg.half_height, tbl, sy)
+        return pipeline._cascade_start(
+                                       pipeline.make_trace_fn(None, None, cfg, rcfg, table=tbl,
+                                                             sky_y=sy), rcfg, cam, 0, rcfg.half_height)
     timeit("cascade start (1/8 res)", jax.jit(cascade), table, sky_y)
 
     def prepass(tbl, sy):
@@ -158,8 +159,9 @@ def main():
             dx, dy, dz = pipeline._ray_dirs(cam, rcfg.half_width,
                                             rcfg.half_height,
                                             pixel_center=True)
-            st = pipeline._cascade_start(None, None, cfg, rcfg, cam, 0,
-                                         rcfg.half_height, tbl, sy)
+            st = pipeline._cascade_start(
+                                         pipeline.make_trace_fn(None, None, cfg, rcfg, table=tbl,
+                                                               sky_y=sy), rcfg, cam, 0, rcfg.half_height)
             res = wavefront.trace(None, None, cfg, rcfg,
                                   cam.pos[0], cam.pos[1], cam.pos[2],
                                   dx, dy, dz, st, table=tbl, sky_y=sy)
@@ -225,8 +227,9 @@ def main():
                 dx, dy, dz = pipeline._ray_dirs(cam, rcfg.half_width,
                                                 rcfg.half_height,
                                                 pixel_center=True)
-                st = pipeline._cascade_start(None, None, cfg, rc, cam, 0,
-                                             rcfg.half_height, tbl, sy)
+                st = pipeline._cascade_start(
+                                             pipeline.make_trace_fn(None, None, cfg, rc, table=tbl,
+                                                                   sky_y=sy), rc, cam, 0, rcfg.half_height)
                 res = wavefront.trace(None, None, cfg, rc,
                                       cam.pos[0], cam.pos[1], cam.pos[2],
                                       dx, dy, dz, st, table=tbl, sky_y=sy)

@@ -102,3 +102,56 @@ def test_volume_trace_crosses_many_slabs(world64):
     both = v_hit & s_hit
     dpos = np.abs(np.asarray(vres.pz)[both] - np.asarray(sres.pz)[both])
     assert np.quantile(dpos, 0.99) < 2e-2, dpos.max()
+
+
+def test_volume_sharded_full_frame_matches_single_device(world64):
+    """The whole per-frame pipeline against the z-slab-sharded world must
+    reproduce the single-device frame (handed-off rays restart stepping at
+    slab faces -> a small boundary-grazing pixel budget)."""
+    import dataclasses
+    import math
+
+    from rvgrt_tpu.config import EngineConfig, RenderConfig
+    from rvgrt_tpu.driver.engine import camera_arrays
+    from rvgrt_tpu.parallel import sharding
+    from rvgrt_tpu.render import pipeline
+    from rvgrt_tpu.scene.camera import Camera
+    from rvgrt_tpu.world import atlas as atlas_mod, gi_grid
+
+    cfg, bits, sdf = world64
+    ecfg = EngineConfig(world=cfg,
+                        render=dataclasses.replace(RenderConfig(),
+                                                   width=64, height=32))
+    atlas = atlas_mod.procedural_atlas()
+    gi = gi_grid.zeros(cfg)
+
+    pos = np.array([63.0, 45.0, 49.0], np.float32)
+    fwd = np.array([-0.85, -0.5, 0.2], np.float32)
+    fwd /= np.linalg.norm(fwd)
+    wup = np.array([0.0, 1.0, 0.0], np.float32)
+    right = np.cross(fwd, wup); right /= np.linalg.norm(right)
+    up = np.cross(fwd, right); up /= np.linalg.norm(up)
+    cam = camera_arrays(Camera(pos=pos, forward=fwd,
+                               right=right.astype(np.float32),
+                               up=up.astype(np.float32)), time_s=0.0)
+
+    single = pipeline.render_frame(bits, sdf, gi, atlas, cam, ecfg,
+                                   include_gi=False)
+
+    mesh = sharding.make_mesh(8, axis="z")
+    tables = volume.build_shard_tables(bits, sdf, cfg, mesh)
+    sdf_rep, gi_rep, atlas_rep = sharding.replicate(mesh, sdf, gi, atlas)
+    vol = volume.render_frame_volume(tables, sdf_rep, gi_rep, atlas_rep,
+                                     cam, ecfg, mesh, include_gi=False)
+
+    a = np.asarray(single.color)
+    b = np.asarray(vol.color)
+    assert np.isfinite(b).all()
+    diff = np.abs(a - b).max(axis=-1)
+    frac_off = (diff > 0.02).mean()
+    mse = float(np.mean((a - b) ** 2))
+    psnr = 99.0 if mse == 0 else 10.0 * math.log10(1.0 / mse)
+    assert psnr > 30.0, (psnr, frac_off)
+    assert frac_off < 0.03, (psnr, frac_off)
+    # depth/motion come from the same hit geometry
+    assert np.isfinite(np.asarray(vol.depth)).all()
