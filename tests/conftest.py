@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env var alone is NOT enough on hosts whose sitecustomize registers a
+# remote-TPU PJRT plugin and then force-sets jax_platforms (observed:
+# "axon,cpu" overriding JAX_PLATFORMS=cpu) - re-assert cpu via the config,
+# which wins over any startup-time setting as long as no backend has been
+# initialized yet.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache: the world-gen / SDF / tracer programs are
