@@ -40,6 +40,15 @@ class WorldConfig:
     gi_coarseness: int = 4
     sdf_max_dist: int = 64
 
+    # Far-field SDF mip (TPU addition, no reference counterpart): the base
+    # SDF caps at sdf_max_dist=64 coarse cells, so empty-space jumps top
+    # out at 128 fine voxels even when geometry is 1000+ voxels away.  A
+    # second distance transform at this fine-voxel coarseness (cheap: the
+    # grid is (level/coarseness)^3 smaller) synthesizes conservative far
+    # values that saturate the uint8 at 255 (510-voxel jumps) - see
+    # sdf.extend_sdf_far.  0 disables (reference-exact `its` counts).
+    sdf_far_level: int = 8
+
     # fillKernel: solid <=> Evaluate(x,y,z) > 0.7 (CArray.cu:27)
     solid_threshold: float = 0.7
 

@@ -127,6 +127,54 @@ def build_sdf(coarse_solid: jax.Array, cfg: WorldConfig,
     return dist_xyz.astype(jnp.uint8).reshape(-1)
 
 
+def extend_sdf_far(sdf: jax.Array, coarse_solid: jax.Array,
+                   cfg: WorldConfig) -> jax.Array:
+    """Inflate far-field SDF values from a coarser mip (TPU addition).
+
+    The reference caps its SDF at ``SDF_MAX_DIST`` = 64 coarse cells
+    (``CoarseArray.cuh:14``), so the tracer's empty-space jumps top out at
+    128 fine voxels even when the nearest geometry is a thousand voxels
+    away - the #1 lane-step cost for sky/sun/far rays at 1024^3+.  The
+    uint8 storage runs to 255: this computes a second distance transform
+    over ``sdf_far_level``-voxel blocks (cheap: that grid is
+    (level/coarseness)^3 smaller than the SDF), converts each far value
+    into the largest table value that stays conservative under BOTH tracer
+    uses of an SDF sample, and maxes it into the base field.  Far values
+    then saturate the byte at 255 (510-voxel jumps at coarseness 2).
+
+    Conservativeness: a mip value v at level F means the containing
+    F-block's center is >= F*v fine voxels from the nearest solid F-block
+    center; worst-case corner offsets (sqrt(3)/2 * F on each side) leave
+    every point p of the block with clearance(p) >= F*(v - sqrt(3)).  The
+    largest displacement the tracer derives from a table value d is
+    d*coarseness + 1 (the every-8th-step probe jump, which re-centers on
+    the cell center first: wavefront.py jump_len; the sphere step d is
+    half that).  So d' = floor((F*(v - 1.75) - 1) / coarseness) never
+    oversteps.  Rendered images are identical to the base SDF by
+    construction; only ``its``/superstep counts shrink (both properties
+    are gated in tests/test_world.py + tests/test_trace.py).
+    """
+    F = cfg.sdf_far_level
+    c = cfg.sdf_coarseness
+    if not F or F <= c:
+        return sdf
+    f = F // c
+    sz, sy, sx = cfg.sdf_size_z, cfg.sdf_size_y, cfg.sdf_size_x
+    occ = coarse_solid.reshape(sz // f, f, sy // f, f, sx // f, f) \
+        .any(axis=(1, 3, 5))
+    # values saturating d' at 255 need v <= (255*c + 1)/F + 2.75; a tight
+    # cap keeps the min-conv window small
+    cap = min(255, (255 * c + 1) // F + 3)
+    dist_x = _axis_distance_1d(occ, axis=2, cap=cap)
+    dist_xy = _minconv_pass(dist_x, axis=1, cap=cap)
+    v = _minconv_pass(dist_xy, axis=0, cap=cap).astype(_I32)
+    # integer form of floor((F*(v - 1.75) - 1) / c)
+    dp = jnp.clip((F * (4 * v - 7) - 4) // (4 * c), 0, 255)
+    dp = jnp.repeat(jnp.repeat(jnp.repeat(dp.astype(jnp.uint8), f, 0),
+                               f, 1), f, 2)
+    return jnp.maximum(sdf, dp.reshape(-1))
+
+
 def sample_sdf_at_voxel(sdf: jax.Array, cfg: WorldConfig, vx, vy, vz):
     """Gather SDF (coarse cells) at *fine* integer voxel coords.
 

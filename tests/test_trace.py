@@ -184,3 +184,44 @@ def test_oob_start_and_sky_retirement(small_world):
     hit = np.asarray(r_ref.hit)
     np.testing.assert_allclose(np.asarray(r_sky.py)[hit],
                                np.asarray(r_ref.py)[hit], atol=1e-5)
+
+
+def test_far_extended_sdf_same_hits():
+    """Tracing against the far-mip-extended SDF (sdf.extend_sdf_far) must
+    find the same surfaces as the plain SDF - the extension is a pure
+    work-saver (bigger conservative steps), never a behavior change.
+    Uses the sparse 256^3 floor+pillars world (test_world.sparse_world_256)
+    whose open space saturates the base 64-cap, so long jumps toward thin
+    pillars exercise the tunneling risk directly."""
+    from tests.test_world import sparse_world_256
+
+    cfg, bits, _ = sparse_world_256()
+    rcfg = RenderConfig()
+    coarse = vg.coarse_occupancy(bits, cfg)
+    base = sdf_mod.build_sdf(coarse, cfg)
+    ext = sdf_mod.extend_sdf_far(base, coarse, cfg)
+    assert (np.asarray(ext) > np.asarray(base)).any()
+
+    n = 512
+    origins, dirs = _random_rays(n, 23, cfg.size_x)
+    t0 = jnp.zeros(n, jnp.float32)
+    r_base = wavefront.trace(bits, base, cfg, rcfg,
+                             origins[:, 0], origins[:, 1], origins[:, 2],
+                             dirs[:, 0], dirs[:, 1], dirs[:, 2], t0)
+    r_ext = wavefront.trace(bits, ext, cfg, rcfg,
+                            origins[:, 0], origins[:, 1], origins[:, 2],
+                            dirs[:, 0], dirs[:, 1], dirs[:, 2], t0)
+    np.testing.assert_array_equal(np.asarray(r_base.hit),
+                                  np.asarray(r_ext.hit))
+    hit = np.asarray(r_base.hit)
+    for a, b in ((r_base.px, r_ext.px), (r_base.py, r_ext.py),
+                 (r_base.pz, r_ext.pz)):
+        np.testing.assert_allclose(np.asarray(a)[hit], np.asarray(b)[hit],
+                                   atol=2e-3)
+    for a, b in ((r_base.nx, r_ext.nx), (r_base.ny, r_ext.ny),
+                 (r_base.nz, r_ext.nz)):
+        np.testing.assert_array_equal(np.asarray(a)[hit],
+                                      np.asarray(b)[hit])
+    # the extension must never cost iterations on average - it exists to
+    # shed them
+    assert np.asarray(r_ext.its).mean() <= np.asarray(r_base.its).mean()

@@ -127,6 +127,57 @@ def test_sdf_zero_on_solid_and_safe_lower_bound(world64):
         assert sdf[z, y, x] <= min(cfg.sdf_max_dist, true_d) + 1e-6
 
 
+def sparse_world_256():
+    """Synthetic 256^3 world: thin floor + scattered pillars.  Open space
+    reaches ~250 voxels of clearance, so the base SDF saturates its 64-cap
+    and the far mip actually wins the max (terrain worlds under 512^3 never
+    get 128+ voxels from geometry)."""
+    cfg = WorldConfig().with_cube(8)
+    solid = np.zeros((cfg.size_z, cfg.size_y, cfg.size_x), bool)
+    solid[:, :4, :] = True
+    rng = np.random.default_rng(17)
+    for _ in range(12):
+        x = int(rng.integers(8, cfg.size_x - 12))
+        z = int(rng.integers(8, cfg.size_z - 12))
+        h = int(rng.integers(20, cfg.size_y - 8))
+        solid[z:z + 4, 4:h, x:x + 4] = True
+    bits = vg.pack_bits_x(jnp.asarray(solid)).reshape(-1)
+    return cfg, bits, solid
+
+
+def test_far_extended_sdf_is_conservative():
+    """Every synthesized far value d' must keep the tracer's largest
+    derived displacement (probe jump: d'*coarseness + 1) within the exact
+    clearance of every point of the coarse cell - the no-tunneling
+    property extend_sdf_far's docstring derives."""
+    cfg, bits, fine = sparse_world_256()
+    coarse = np.asarray(vg.coarse_occupancy(bits, cfg))
+    base = np.asarray(sdf_mod.build_sdf(jnp.asarray(coarse), cfg)).reshape(
+        coarse.shape)
+    ext = np.asarray(sdf_mod.extend_sdf_far(
+        jnp.asarray(base.reshape(-1)), jnp.asarray(coarse), cfg)).reshape(
+        coarse.shape)
+    assert (ext >= base).all()
+    inflated = np.argwhere(ext > base)
+    assert len(inflated) > 0  # the fixture must exercise the far band
+    assert int(ext.max()) > cfg.sdf_max_dist
+    solid_pts = np.argwhere(fine).astype(np.float64)  # (N, 3) z,y,x voxels
+    c = float(cfg.sdf_coarseness)
+    rng = np.random.default_rng(11)
+    sel = inflated[rng.permutation(len(inflated))[:200]]
+    for z, y, x in sel:
+        # min distance between the coarse-cell box and any solid voxel box
+        cell_lo = np.array([z, y, x], np.float64) * c
+        gap_lo = solid_pts - (cell_lo + c)       # solid box low - cell high
+        gap_hi = cell_lo - (solid_pts + 1.0)     # cell low - solid box high
+        gap = np.maximum(np.maximum(gap_lo, gap_hi), 0.0)
+        clearance = np.sqrt((gap * gap).sum(axis=1).min())
+        d = int(ext[z, y, x])
+        assert d * c + 1 <= clearance + 1e-9, (
+            f"cell {(z, y, x)} d'={d} jump {d * c + 1} > "
+            f"clearance {clearance:.2f}")
+
+
 def test_sample_sdf_at_voxel_clamps(world64):
     cfg, bits, _ = world64
     coarse = vg.coarse_occupancy(bits, cfg)
