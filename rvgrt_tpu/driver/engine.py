@@ -59,12 +59,22 @@ def build_world(ecfg: EngineConfig, verbose: bool = True,
     with Timer("building coarse SDF", verbose):
         coarse = voxel_grid.coarse_occupancy(bits, cfg)
         sdf = sdf_mod.build_sdf(coarse, cfg)
+        # far-field mip extension: u8 values 65..255 for 510-voxel jumps
+        # (conservative - rendered frames are identical; see extend_sdf_far)
+        sdf = jax.jit(sdf_mod.extend_sdf_far,
+                      static_argnums=2)(sdf, coarse, cfg)
         sdf.block_until_ready()
-    atlas = atlas_mod.procedural_atlas()
+    with Timer("building texture atlas", verbose):
+        atlas = atlas_mod.default_atlas()
+        atlas.block_until_ready()
     from rvgrt_tpu.trace import wavefront
-    table = jax.jit(wavefront.make_trace_table,
-                    static_argnums=2)(bits, sdf, cfg)
-    sky_y = jax.jit(voxel_grid.sky_limit, static_argnums=1)(bits, cfg)
+    with Timer("building tracer gather table", verbose):
+        table = jax.jit(wavefront.make_trace_table,
+                        static_argnums=2)(bits, sdf, cfg)
+        table.block_until_ready()
+    with Timer("computing sky limit", verbose):
+        sky_y = jax.jit(voxel_grid.sky_limit, static_argnums=1)(bits, cfg)
+        sky_y.block_until_ready()
     if init_gi:
         with Timer("initializing GI", verbose):
             gi = gi_update.init_gi(bits, sdf, ecfg, sky_y=sky_y,

