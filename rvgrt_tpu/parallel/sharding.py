@@ -35,15 +35,15 @@ def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
     return Mesh(devs, (axis,))
 
 
-def render_frame_sharded(bits, sdf, gi, atlas, cam: pipeline.CameraArrays,
-                         ecfg: EngineConfig, mesh: Mesh,
-                         include_gi: bool = True, gi_occ=None, sky_y=None,
-                         table=None) -> pipeline.FrameOutputs:
-    """Render with pixel rows sharded across the mesh's ``rays`` axis.
+@functools.lru_cache(maxsize=None)
+def _render_sharded_jit(ecfg: EngineConfig, mesh: Mesh, include_gi: bool,
+                        have_occ: bool):
+    """Cached jitted shard_map for one (config, mesh) operating point.
 
-    Returns FrameOutputs whose leading (row) axis is sharded; callers can
-    ``jax.device_get`` to assemble (per-host shard fetch = the "present").
-    """
+    shard_map MUST run under jit here: binding it eagerly falls back to a
+    per-device Python interpretation of the whole tracer while-loop -
+    measured 25+ minutes for a 64x32 frame on the 8-virtual-CPU mesh,
+    where the jitted program takes seconds."""
     n = mesh.shape["rays"]
     h = ecfg.render.height
     assert h % (2 * n) == 0, (h, n)
@@ -57,15 +57,6 @@ def render_frame_sharded(bits, sdf, gi, atlas, cam: pipeline.CameraArrays,
                                     include_gi=include_gi, gi_occ=gi_occ,
                                     sky_y=sky_y, table=table)
 
-    if gi_occ is None and ecfg.render.gi_fused_cone:
-        from rvgrt_tpu.world import gi_grid
-        gi_occ = gi_grid.build_occlusion(sdf, ecfg.world)
-    if sky_y is None:
-        from rvgrt_tpu.world import voxel_grid
-        sky_y = voxel_grid.sky_limit(bits, ecfg.world)
-    if table is None:
-        from rvgrt_tpu.trace import wavefront
-        table = wavefront.make_trace_table(bits, sdf, ecfg.world)
     rep = P()
     out_specs = pipeline.FrameOutputs(
         color=P("rays"), motion=P("rays"), depth=P("rays"),
@@ -75,14 +66,36 @@ def render_frame_sharded(bits, sdf, gi, atlas, cam: pipeline.CameraArrays,
                              pipeline.CameraArrays(*([rep] * 8)), rep, rep,
                              rep),
                    out_specs=out_specs)
+    del have_occ  # part of the cache key only (None vs array retraces)
+    return jax.jit(fn)
+
+
+def render_frame_sharded(bits, sdf, gi, atlas, cam: pipeline.CameraArrays,
+                         ecfg: EngineConfig, mesh: Mesh,
+                         include_gi: bool = True, gi_occ=None, sky_y=None,
+                         table=None) -> pipeline.FrameOutputs:
+    """Render with pixel rows sharded across the mesh's ``rays`` axis.
+
+    Returns FrameOutputs whose leading (row) axis is sharded; callers can
+    ``jax.device_get`` to assemble (per-host shard fetch = the "present").
+    """
+    if gi_occ is None and ecfg.render.gi_fused_cone:
+        from rvgrt_tpu.world import gi_grid
+        gi_occ = gi_grid.build_occlusion(sdf, ecfg.world)
+    if sky_y is None:
+        from rvgrt_tpu.world import voxel_grid
+        sky_y = voxel_grid.sky_limit(bits, ecfg.world)
+    if table is None:
+        from rvgrt_tpu.trace import wavefront
+        table = wavefront.make_trace_table(bits, sdf, ecfg.world)
+    fn = _render_sharded_jit(ecfg, mesh, include_gi, gi_occ is not None)
     return fn(bits, sdf, gi, atlas, cam, gi_occ, sky_y, table)
 
 
-def update_gi_sharded(gi, bits, sdf, atlas, ecfg: EngineConfig, frame,
-                      offset, mesh: Mesh):
-    """Distributed progressive GI: each device updates a sub-window of the
-    round-robin cell slice, then the shards are all-gathered and written
-    back with one dynamic_update_slice (replicated grid)."""
+@functools.lru_cache(maxsize=None)
+def _update_gi_sharded_jit(ecfg: EngineConfig, mesh: Mesh):
+    """Cached jitted shard_map GI update (see _render_sharded_jit on why
+    shard_map must never bind eagerly)."""
     n_dev = mesh.shape["rays"]
     n = min(ecfg.gi_rays_per_frame, ecfg.world.gi_num_cells)
     assert n % n_dev == 0
@@ -101,12 +114,26 @@ def update_gi_sharded(gi, bits, sdf, atlas, ecfg: EngineConfig, frame,
         return window
 
     rep = P()
-    windows = shard_map(shard_fn, mesh=mesh,
-                        in_specs=(rep, rep, rep, rep, rep, rep),
-                        out_specs=P("rays"))(gi, bits, sdf, atlas, frame,
-                                             offset)
-    # windows: (n,) sharded; write the full window back into the grid
-    return jax.lax.dynamic_update_slice(gi, windows, (offset,))
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(rep, rep, rep, rep, rep, rep),
+                   out_specs=P("rays"))
+
+    def apply(gi, bits, sdf, atlas, frame, offset):
+        windows = fn(gi, bits, sdf, atlas, frame, offset)
+        # windows: (n,) sharded; write the full window back into the grid
+        return jax.lax.dynamic_update_slice(gi, windows, (offset,))
+
+    return jax.jit(apply)
+
+
+def update_gi_sharded(gi, bits, sdf, atlas, ecfg: EngineConfig, frame,
+                      offset, mesh: Mesh):
+    """Distributed progressive GI: each device updates a sub-window of the
+    round-robin cell slice, then the shards are all-gathered and written
+    back with one dynamic_update_slice (replicated grid)."""
+    return _update_gi_sharded_jit(ecfg, mesh)(gi, bits, sdf, atlas,
+                                              jnp.asarray(frame),
+                                              jnp.asarray(offset))
 
 
 def replicate(mesh: Mesh, *arrays):

@@ -28,6 +28,7 @@ for 2048^3+ streaming worlds.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
 import jax
@@ -114,100 +115,116 @@ def trace_ring(tbl: jax.Array, cfg: WorldConfig, rcfg: RenderConfig,
     # them could round a resumed ray back across the slab face forever)
     rt0 = pad(jnp.asarray(t0, _F32).astype(jnp.float16).astype(_F32), 0.0)
 
-    if True:  # (kept indentation of the former closure)
-        zi = jax.lax.axis_index(axis)
-        z0 = zi.astype(_F32) * _F32(slab)
-        is_first = zi == 0
-        is_last = zi == n - 1
+    zi = jax.lax.axis_index(axis)
+    z0 = zi.astype(_F32) * _F32(slab)
+    is_first = zi == 0
+    is_last = zi == n - 1
 
-        # claim the rays whose march START lies in my slab (clamped: rays
-        # starting outside the world go to the nearest edge shard, whose
-        # z_edges flags turn them into the reference's OOB-start miss)
-        sz = roz + rt0 * rdz
-        owner = jnp.clip(jnp.floor(sz / _F32(slab)).astype(_I32), 0, n - 1)
-        my0 = (ids0 < sentinel) & (owner == zi)
+    # claim the rays whose march START lies in my slab (clamped: rays
+    # starting outside the world go to the nearest edge shard, whose
+    # z_edges flags turn them into the reference's OOB-start miss)
+    sz = roz + rt0 * rdz
+    owner = jnp.clip(jnp.floor(sz / _F32(slab)).astype(_I32), 0, n - 1)
+    my0 = (ids0 < sentinel) & (owner == zi)
 
-        fields0 = [ids0, rox, roy, roz, rdx, rdy, rdz, rt0,
-                   jnp.zeros_like(ids0)]  # trailing: accumulated its
-        packed, _ = _pack(my0, fields0, cap, sentinel)
-        # the scan carry becomes device-varying after the first ppermute;
-        # mark any still-replicated initial carry component varying to match
-        def _vary(f):
-            return f if axis in jax.typeof(f).vma \
-                else jax.lax.pcast(f, (axis,), to="varying")
+    fields0 = [ids0, rox, roy, roz, rdx, rdy, rdz, rt0,
+               jnp.zeros_like(ids0),   # accumulated its
+               jnp.zeros_like(ids0)]   # resumed (crossed a slab face)
+    packed, _ = _pack(my0, fields0, cap, sentinel)
+    # the scan carry becomes device-varying after the first ppermute;
+    # mark any still-replicated initial carry component varying to match
+    def _vary(f):
+        return f if axis in jax.typeof(f).vma \
+            else jax.lax.pcast(f, (axis,), to="varying")
 
-        packed = [_vary(f) for f in packed]
+    packed = [_vary(f) for f in packed]
 
-        # zero-initialized so the final psum-merge across shards is a
-        # plain sum (each terminal ray is scattered by exactly one shard)
-        zeros_out = dict(
-            hit=jnp.zeros((cap,), _I32),
-            px=jnp.zeros((cap,), _F32), py=jnp.zeros((cap,), _F32),
-            pz=jnp.zeros((cap,), _F32),
-            nx=jnp.zeros((cap,), _F32), ny=jnp.zeros((cap,), _F32),
-            nz=jnp.zeros((cap,), _F32),
-            uv_u=jnp.zeros((cap,), _F32), uv_v=jnp.zeros((cap,), _F32),
-            its=jnp.zeros((cap,), _I32), t=jnp.zeros((cap,), _F32))
+    # zero-initialized so the final psum-merge across shards is a
+    # plain sum (each terminal ray is scattered by exactly one shard)
+    zeros_out = dict(
+        hit=jnp.zeros((cap,), _I32),
+        px=jnp.zeros((cap,), _F32), py=jnp.zeros((cap,), _F32),
+        pz=jnp.zeros((cap,), _F32),
+        nx=jnp.zeros((cap,), _F32), ny=jnp.zeros((cap,), _F32),
+        nz=jnp.zeros((cap,), _F32),
+        uv_u=jnp.zeros((cap,), _F32), uv_v=jnp.zeros((cap,), _F32),
+        its=jnp.zeros((cap,), _I32), t=jnp.zeros((cap,), _F32))
 
-        def round_body(carry, _):
-            fields, out = carry
-            rid, qox, qoy, qoz, qdx, qdy, qdz, qt, qits = fields
-            live = rid < sentinel
-            # park empty slots at an OOB start (retire in ~2 supersteps);
-            # t must be zeroed too or garbage t*dir can re-enter the world
-            pox = jnp.where(live, qox, -10.0)
-            poz = jnp.where(live, qoz - z0, -10.0)
-            pt = jnp.where(live, qt, 0.0)
-            shp = (-1, 4096)
-            res = wavefront.trace(
-                None, None, lcfg, rcfg,
-                pox.reshape(shp), qoy.reshape(shp), poz.reshape(shp),
-                qdx.reshape(shp), qdy.reshape(shp), qdz.reshape(shp),
-                pt.reshape(shp), table=tbl, sky_y=sky_y,
-                z_edges=(is_first, is_last), quantize_start_fp16=False)
-            res = jax.tree.map(lambda a: a.reshape(-1), res)
+    def round_body(carry, _):
+        fields, out = carry
+        rid, qox, qoy, qoz, qdx, qdy, qdz, qt, qits, qres = fields
+        live = rid < sentinel
+        # park empty slots at an OOB start (retire in ~2 supersteps);
+        # t must be zeroed too or garbage t*dir can re-enter the world
+        pox = jnp.where(live, qox, -10.0)
+        poz = jnp.where(live, qoz - z0, -10.0)
+        pt = jnp.where(live, qt, 0.0)
+        shp = (-1, 4096)
+        res = wavefront.trace(
+            None, None, lcfg, rcfg,
+            pox.reshape(shp), qoy.reshape(shp), poz.reshape(shp),
+            qdx.reshape(shp), qdy.reshape(shp), qdz.reshape(shp),
+            pt.reshape(shp), table=tbl, sky_y=sky_y,
+            z_edges=(is_first, is_last), quantize_start_fp16=False)
+        res = jax.tree.map(lambda a: a.reshape(-1), res)
 
-            term = live & (res.exit_dir == 0)
-            sids = jnp.where(term, rid, sentinel)
-            tot_its = qits + res.its
-            upd = dict(
-                hit=res.hit.astype(_I32), px=res.px, py=res.py,
-                pz=jnp.where(res.hit, res.pz + z0, res.pz),
-                nx=res.nx, ny=res.ny, nz=res.nz,
-                uv_u=res.uv_u, uv_v=res.uv_v, its=tot_its, t=res.t)
-            out = {k: out[k].at[sids].set(upd[k], mode="drop")
-                   for k in out}
+        term = live & (res.exit_dir == 0)
+        sids = jnp.where(term, rid, sentinel)
+        tot_its = qits + res.its
+        # a handed-off ray that hits in its FIRST DDA cell gets the
+        # reference's undefined-first-cell normal (zero); but it entered
+        # this slab through the z face by construction, so the true face
+        # normal is (0, 0, -sign(dz)).  Patch it - otherwise slab-boundary
+        # hits shade with a degenerate normal (visible seam at slab faces)
+        zero_n = (res.nx == 0) & (res.ny == 0) & (res.nz == 0)
+        fix_n = res.hit & (qres != 0) & zero_n
+        nz_fix = jnp.where(fix_n, -jnp.sign(qdz), res.nz)
+        # ... and the matching z-face UV (wavefront.py uv construction,
+        # MASK_Z branch): u = frac(x) flipped when stepping +z, v = frac(y)
+        frac_x = res.px - jnp.floor(res.px)
+        frac_y = res.py - jnp.floor(res.py)
+        uvu_fix = jnp.where(qdz > 0, 1.0 - frac_x, frac_x)
+        uv_u_fix = jnp.where(fix_n, uvu_fix, res.uv_u)
+        uv_v_fix = jnp.where(fix_n, frac_y, res.uv_v)
+        upd = dict(
+            hit=res.hit.astype(_I32), px=res.px, py=res.py,
+            pz=jnp.where(res.hit, res.pz + z0, res.pz),
+            nx=res.nx, ny=res.ny, nz=nz_fix,
+            uv_u=uv_u_fix, uv_v=uv_v_fix, its=tot_its, t=res.t)
+        out = {k: out[k].at[sids].set(upd[k], mode="drop")
+               for k in out}
 
-            # hand off exits: global exit position -> resume t just past
-            # the slab face (guards fp ping-pong across the boundary)
-            ex_lo = live & (res.exit_dir < 0)
-            ex_hi = live & (res.exit_dir > 0)
-            gz = res.pz + z0
-            face = jnp.where(ex_hi, z0 + slab + 1e-3, z0 - 1e-3)
-            t_face = jnp.where(qdz != 0, (face - qoz) / qdz, 0.0)
-            t_exit = ((res.px - qox) * qdx + (res.py - qoy) * qdy
-                      + (gz - qoz) * qdz)
-            t_new = jnp.maximum(t_exit, t_face)
-            send = [rid, qox, qoy, qoz, qdx, qdy, qdz, t_new, tot_its]
-            lo_pkt, _ = _pack(ex_lo, send, cap, sentinel)
-            hi_pkt, _ = _pack(ex_hi, send, cap, sentinel)
-            down = [(i, (i - 1) % n) for i in range(n)]
-            up = [(i, (i + 1) % n) for i in range(n)]
-            recv_hi = [jax.lax.ppermute(f, axis, up) for f in hi_pkt]
-            recv_lo = [jax.lax.ppermute(f, axis, down) for f in lo_pkt]
-            # wrap-around slots carry no valid rays (edge shards convert
-            # boundary exits to misses), but mask them anyway
-            merged_valid = jnp.concatenate(
-                [recv_hi[0] < sentinel, recv_lo[0] < sentinel])
-            merged = [jnp.concatenate([a, b])
-                      for a, b in zip(recv_hi, recv_lo)]
-            fields, _ = _pack(merged_valid, merged, cap, sentinel)
-            return (fields, out), None
+        # hand off exits: global exit position -> resume t just past
+        # the slab face (guards fp ping-pong across the boundary)
+        ex_lo = live & (res.exit_dir < 0)
+        ex_hi = live & (res.exit_dir > 0)
+        gz = res.pz + z0
+        face = jnp.where(ex_hi, z0 + slab + 1e-3, z0 - 1e-3)
+        t_face = jnp.where(qdz != 0, (face - qoz) / qdz, 0.0)
+        t_exit = ((res.px - qox) * qdx + (res.py - qoy) * qdy
+                  + (gz - qoz) * qdz)
+        t_new = jnp.maximum(t_exit, t_face)
+        send = [rid, qox, qoy, qoz, qdx, qdy, qdz, t_new, tot_its,
+                jnp.ones_like(rid)]
+        lo_pkt, _ = _pack(ex_lo, send, cap, sentinel)
+        hi_pkt, _ = _pack(ex_hi, send, cap, sentinel)
+        down = [(i, (i - 1) % n) for i in range(n)]
+        up = [(i, (i + 1) % n) for i in range(n)]
+        recv_hi = [jax.lax.ppermute(f, axis, up) for f in hi_pkt]
+        recv_lo = [jax.lax.ppermute(f, axis, down) for f in lo_pkt]
+        # wrap-around slots carry no valid rays (edge shards convert
+        # boundary exits to misses), but mask them anyway
+        merged_valid = jnp.concatenate(
+            [recv_hi[0] < sentinel, recv_lo[0] < sentinel])
+        merged = [jnp.concatenate([a, b])
+                  for a, b in zip(recv_hi, recv_lo)]
+        fields, _ = _pack(merged_valid, merged, cap, sentinel)
+        return (fields, out), None
 
-        zeros_out = {k: _vary(v) for k, v in zeros_out.items()}
-        (fields, out), _ = jax.lax.scan(round_body, (packed, zeros_out),
-                                        None, length=rounds)
-        return {k: jax.lax.psum(v, axis) for k, v in out.items()}
+    zeros_out = {k: _vary(v) for k, v in zeros_out.items()}
+    (fields, out), _ = jax.lax.scan(round_body, (packed, zeros_out),
+                                    None, length=rounds)
+    return {k: jax.lax.psum(v, axis) for k, v in out.items()}
 
 
 def _ring_result(out: dict, N: int) -> wavefront.TraceResult:
@@ -224,6 +241,28 @@ def _ring_result(out: dict, N: int) -> wavefront.TraceResult:
         exit_dir=jnp.zeros((N,), _I32), steps=jnp.zeros((N,), _I32))
 
 
+@functools.lru_cache(maxsize=None)
+def _trace_volume_jit(cfg: WorldConfig, rcfg: RenderConfig, mesh: Mesh,
+                      have_sky: bool, axis: str, rounds: int | None):
+    """Cached jitted shard_map ring trace.  shard_map must never bind
+    eagerly: the unjitted fallback interprets the tracer per device
+    (minutes instead of seconds on the virtual CPU mesh)."""
+    n = mesh.shape[axis]
+    rep = P()
+
+    def shard_fn(tbl, ox, oy, oz, dx, dy, dz, t0, sky_y):
+        return trace_ring(tbl, cfg, rcfg, n, ox, oy, oz, dx, dy, dz, t0,
+                          sky_y=sky_y, axis=axis, rounds=rounds)
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P(axis),) + (rep,) * 8,
+                   out_specs={k: P() for k in
+                              ("hit", "px", "py", "pz", "nx", "ny", "nz",
+                               "uv_u", "uv_v", "its", "t")})
+    del have_sky  # cache key only (None vs traced scalar retraces)
+    return jax.jit(fn)
+
+
 def trace_volume_sharded(tables: jax.Array, cfg: WorldConfig,
                          rcfg: RenderConfig, mesh: Mesh,
                          ox, oy, oz, dx, dy, dz, t0,
@@ -234,40 +273,21 @@ def trace_volume_sharded(tables: jax.Array, cfg: WorldConfig,
     Inputs are replicated 1-D arrays of equal length N; returns a
     TraceResult of replicated (N,) arrays (exit_dir always 0).
     """
-    n = mesh.shape[axis]
     N = ox.shape[0]
-
-    def shard_fn(tbl):
-        return trace_ring(tbl, cfg, rcfg, n, ox, oy, oz, dx, dy, dz, t0,
-                          sky_y=sky_y, axis=axis, rounds=rounds)
-
-    fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(axis),),
-                   out_specs={k: P() for k in
-                              ("hit", "px", "py", "pz", "nx", "ny", "nz",
-                               "uv_u", "uv_v", "its", "t")})
-    return _ring_result(fn(tables), N)
+    fn = _trace_volume_jit(cfg, rcfg, mesh, sky_y is not None, axis, rounds)
+    return _ring_result(fn(tables, ox, oy, oz, dx, dy, dz, t0, sky_y), N)
 
 
-def render_frame_volume(tables: jax.Array, sdf_replicated, gi, atlas,
-                        cam, ecfg, mesh: Mesh, include_gi: bool = True,
-                        sky_y=None, axis: str = "z",
-                        rounds: int | None = None):
-    """Full per-frame pipeline against the z-slab-sharded world.
-
-    Every ray cast the pipeline issues (cascade, prepass, shadows, primary,
-    water pair) runs through the ray-handoff ring; shading/composition is
-    computed redundantly on every device from the psum-merged trace
-    results.  World MEMORY is what this shards (the bits + per-slab tables
-    live sharded); the coarse SDF is replicated for the GI cone march -
-    1/8 the bit volume in bytes.  Correctness-first, like
-    ``trace_volume_sharded``; returns replicated FrameOutputs.
-    """
+@functools.lru_cache(maxsize=None)
+def _render_volume_jit(ecfg, mesh: Mesh, include_gi: bool, have_sky: bool,
+                       axis: str, rounds: int | None):
     from rvgrt_tpu.render import pipeline
+    from rvgrt_tpu.render.pipeline import CameraArrays, FrameOutputs
 
     n = mesh.shape[axis]
     cfg, rcfg = ecfg.world, ecfg.render
 
-    def shard_fn(tbl, sdf_rep, gi_rep, atlas_rep, cam_rep):
+    def shard_fn(tbl, sdf_rep, gi_rep, atlas_rep, cam_rep, sky_y):
         def trace_fn(ox, oy, oz, dx, dy, dz, t0):
             shape = jnp.broadcast_shapes(
                 jnp.shape(ox), jnp.shape(oy), jnp.shape(oz),
@@ -287,10 +307,30 @@ def render_frame_volume(tables: jax.Array, sdf_replicated, gi, atlas,
             sky_y=sky_y, trace_fn=trace_fn)
 
     rep = P()
-    from rvgrt_tpu.render.pipeline import CameraArrays, FrameOutputs
-
     fn = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(axis), rep, rep, rep, CameraArrays(*([rep] * 8))),
+        in_specs=(P(axis), rep, rep, rep, CameraArrays(*([rep] * 8)), rep),
         out_specs=FrameOutputs(*([rep] * 5)))
-    return fn(tables, sdf_replicated, gi, atlas, cam)
+    del have_sky  # cache key only
+    return jax.jit(fn)
+
+
+def render_frame_volume(tables: jax.Array, sdf_replicated, gi, atlas,
+                        cam, ecfg, mesh: Mesh, include_gi: bool = True,
+                        sky_y=None, axis: str = "z",
+                        rounds: int | None = None):
+    """Full per-frame pipeline against the z-slab-sharded world.
+
+    Every ray cast the pipeline issues (cascade, prepass, shadows, primary,
+    water pair) runs through the ray-handoff ring; shading/composition is
+    computed redundantly on every device from the psum-merged trace
+    results.  World MEMORY is what this shards (the bits + per-slab tables
+    live sharded); the coarse SDF is replicated for the GI cone march -
+    1/8 the bit volume in bytes.  Correctness-first, like
+    ``trace_volume_sharded``; returns replicated FrameOutputs.  Runs as a
+    cached jitted shard_map (eager binding interprets per device -
+    minutes instead of seconds).
+    """
+    fn = _render_volume_jit(ecfg, mesh, include_gi, sky_y is not None,
+                            axis, rounds)
+    return fn(tables, sdf_replicated, gi, atlas, cam, sky_y)

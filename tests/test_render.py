@@ -129,6 +129,7 @@ def test_split_gi_dispatch_matches_fused(engine):
                                   np.asarray(fused.depth))
 
 
+@pytest.mark.slow
 def test_image_golden_vs_scalar_renderer():
     """Image-level PSNR gate (SURVEY §4): the vectorized no-GI frame must
     match a per-pixel scalar implementation of the same reference-semantics

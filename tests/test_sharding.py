@@ -1,0 +1,116 @@
+"""Pixel-row-sharded rendering + distributed GI update vs the single-device
+pipeline, on the 8-virtual-CPU-device mesh (mirrors test_volume.py's
+PSNR-gate structure; SURVEY.md §4's multi-chip test recipe).
+
+These are the round-2 scaling workhorses (``parallel/sharding.py``):
+``render_frame_sharded`` shards rows over a 1-D ``rays`` mesh with the world
+replicated; ``update_gi_sharded`` splits the round-robin GI window across
+devices.  Both must reproduce single-device outputs (slab boundaries only
+recompute a half-res halo, they exchange nothing - so the images should
+match to float-op order).
+"""
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rvgrt_tpu.config import EngineConfig, RenderConfig, WorldConfig
+from rvgrt_tpu.driver.engine import camera_arrays
+from rvgrt_tpu.gi import update as gi_update
+from rvgrt_tpu.parallel import sharding
+from rvgrt_tpu.render import pipeline
+from rvgrt_tpu.scene.camera import Camera
+from rvgrt_tpu.world import atlas as atlas_mod, gi_grid, sdf as sdf_mod
+from rvgrt_tpu.world import voxel_grid as vg
+
+
+@pytest.fixture(scope="module")
+def world64():
+    cfg = WorldConfig().with_cube(6)
+    bits = vg.generate(cfg)
+    coarse = vg.coarse_occupancy(bits, cfg)
+    sdf = sdf_mod.build_sdf(coarse, cfg)
+    atlas = atlas_mod.procedural_atlas()
+    return cfg, bits, sdf, atlas
+
+
+def _camera(cfg):
+    pos = np.array([cfg.size_x - 1.0, cfg.size_y * 0.7, cfg.size_z * 0.77],
+                   np.float32)
+    fwd = np.array([-0.85, -0.5, 0.2], np.float32)
+    fwd /= np.linalg.norm(fwd)
+    wup = np.array([0.0, 1.0, 0.0], np.float32)
+    right = np.cross(fwd, wup)
+    right /= np.linalg.norm(right)
+    up = np.cross(fwd, right)
+    up /= np.linalg.norm(up)
+    return camera_arrays(Camera(pos=pos, forward=fwd,
+                                right=right.astype(np.float32),
+                                up=up.astype(np.float32)), time_s=0.0)
+
+
+def test_render_frame_sharded_matches_single_device(world64):
+    cfg, bits, sdf, atlas = world64
+    ecfg = EngineConfig(world=cfg,
+                        render=dataclasses.replace(RenderConfig(),
+                                                   width=64, height=32))
+    gi = gi_grid.zeros(cfg)
+    cam = _camera(cfg)
+
+    single = pipeline.render_frame(bits, sdf, gi, atlas, cam, ecfg,
+                                   include_gi=True)
+
+    mesh = sharding.make_mesh(8)
+    b, s, g, a = sharding.replicate(mesh, bits, sdf, gi, atlas)
+    shard = sharding.render_frame_sharded(b, s, g, a, cam, ecfg, mesh,
+                                          include_gi=True)
+
+    sa = np.asarray(single.color)
+    sb = np.asarray(shard.color)
+    assert sb.shape == sa.shape
+    assert np.isfinite(sb).all()
+    mse = float(np.mean((sa - sb) ** 2))
+    psnr = 99.0 if mse == 0 else 10.0 * math.log10(1.0 / mse)
+    frac_off = (np.abs(sa - sb).max(axis=-1) > 0.02).mean()
+    assert psnr > 40.0, (psnr, frac_off)
+    assert frac_off < 0.01, (psnr, frac_off)
+    # the G-buffer outputs ride the same hit geometry
+    for name in ("motion", "depth", "half_dist", "half_shadow"):
+        va = np.asarray(getattr(single, name))
+        vb = np.asarray(getattr(shard, name))
+        assert vb.shape == va.shape
+        assert np.isfinite(vb).all(), name
+        ok = np.isclose(va, vb, atol=2e-2)
+        assert ok.mean() > 0.99, (name, ok.mean())
+
+
+def test_update_gi_sharded_matches_single_device(world64):
+    cfg, bits, sdf, atlas = world64
+    # window + offset must respect the advance_offset contract (no wrap:
+    # offset + n <= gi_num_cells = 4096 at 64^3)
+    ecfg = EngineConfig(world=cfg, gi_rays_per_frame=1024)
+    gi0 = gi_update.init_gi(bits, sdf, ecfg)
+
+    frame = jnp.uint32(3)
+    offset = jnp.int32(2048)
+    single = gi_update.update_gi(gi0, bits, sdf, atlas, ecfg, frame, offset)
+
+    mesh = sharding.make_mesh(8)
+    g, b, s, a = sharding.replicate(mesh, gi0, bits, sdf, atlas)
+    shard = sharding.update_gi_sharded(g, b, s, a, ecfg, frame, offset, mesh)
+
+    sa = np.asarray(single)
+    sb = np.asarray(shard)
+    assert sb.shape == sa.shape
+    # the RNG is seeded per cell (idx + frame), so the sharded window split
+    # must reproduce the single-device update bit-exactly on the packed
+    # RGBA8 grid
+    mismatch = (sa != sb).mean()
+    assert mismatch == 0.0, mismatch
+
+    # and it actually updated something inside the window
+    assert (sa != np.asarray(gi0)).any()

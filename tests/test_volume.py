@@ -104,6 +104,7 @@ def test_volume_trace_crosses_many_slabs(world64):
     assert np.quantile(dpos, 0.99) < 2e-2, dpos.max()
 
 
+@pytest.mark.slow
 def test_volume_sharded_full_frame_matches_single_device(world64):
     """The whole per-frame pipeline against the z-slab-sharded world must
     reproduce the single-device frame (handed-off rays restart stepping at
