@@ -113,6 +113,9 @@ class ViewerServer:
                     self.wfile.write(body)
                 elif self.path == "/frame.jpg":
                     data = viewer._wait_frame()
+                    if not data:  # no frame yet (e.g. first-frame compile)
+                        self.send_error(503, "no frame rendered yet")
+                        return
                     self.send_response(200)
                     self.send_header("Content-Type", "image/jpeg")
                     self.send_header("Content-Length", str(len(data)))
@@ -128,6 +131,11 @@ class ViewerServer:
                     try:
                         while not viewer._stop.is_set():
                             data, last = viewer._wait_frame_after(last)
+                            if not data:
+                                # nothing rendered yet (long first-frame
+                                # jit): keep the stream open, never emit an
+                                # empty part (browsers drop the stream)
+                                continue
                             self.wfile.write(
                                 b"--f\r\nContent-Type: image/jpeg\r\n"
                                 + f"Content-Length: {len(data)}\r\n\r\n"
@@ -153,12 +161,17 @@ class ViewerServer:
                     n = int(self.headers.get("Content-Length", 0))
                     d = json.loads(self.rfile.read(n) or b"{}")
                     with viewer._lock:
+                        # mouse deltas ACCUMULATE across posts (the render
+                        # loop zeroes them on consume); frames take seconds
+                        # on big configs while input posts at ~30 Hz -
+                        # overwriting would drop most look motion
+                        prev = viewer._inputs
                         viewer._inputs = InputState(
                             move_x=float(d.get("move_x", 0)),
                             move_y=float(d.get("move_y", 0)),
                             move_z=float(d.get("move_z", 0)),
-                            mouse_dx=float(d.get("mouse_dx", 0)),
-                            mouse_dy=float(d.get("mouse_dy", 0)))
+                            mouse_dx=prev.mouse_dx + float(d.get("mouse_dx", 0)),
+                            mouse_dy=prev.mouse_dy + float(d.get("mouse_dy", 0)))
                     self.send_response(204)
                     self.end_headers()
                 else:

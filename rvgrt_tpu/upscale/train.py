@@ -278,7 +278,6 @@ def main():
           flush=True)
     for k, es in enumerate(eval_segs):
         print(f"eval segment {k}:", evaluate(net, params, es), flush=True)
-    metrics = evaluate(net, params, eval_segs[-1])
     save_params({"variant": args.variant, "params": jax.device_get(params)},
                 args.out)
     print(f"saved {args.out} ({args.variant})", flush=True)
