@@ -19,10 +19,13 @@ Differences vs single-device tracing (documented, tested):
   (the stored distances were computed globally, so they remain valid
   lower bounds inside the slab).
 
-This module is deliberately correctness-first: every device keeps capacity
-for the full ray set (camera rays all start in one slab), so compute is
-not yet load-balanced.  The world MEMORY is what this shards - the point
-for 2048^3+ streaming worlds.
+Buffer capacity stays at the full ray set per device (camera rays all
+start in one slab, so any device can legitimately own every ray), but two
+load-balancing levers keep the ring from paying full cost everywhere:
+devices with an empty buffer skip the whole trace for that round
+(``lax.cond``), and ``handoff_cap`` bounds each ppermute packet with
+overflow-retry (exit rays that don't fit stay local one more round).  The
+world MEMORY is what this shards - the point for 2048^3+ streaming worlds.
 """
 
 from __future__ import annotations
@@ -86,7 +89,8 @@ def _pack(valid, fields, capacity: int, id_sentinel: int):
 def trace_ring(tbl: jax.Array, cfg: WorldConfig, rcfg: RenderConfig,
                n_shards: int, ox, oy, oz, dx, dy, dz, t0,
                sky_y=None, axis: str = "z",
-               rounds: int | None = None) -> dict:
+               rounds: int | None = None,
+               handoff_cap: int | None = None) -> dict:
     """Per-device body of the volume-sharded trace: claim rays whose march
     start lies in this device's z-slab, trace against the local table,
     hand slab-crossers to the z neighbors over the ``axis`` ring, repeat;
@@ -95,13 +99,23 @@ def trace_ring(tbl: jax.Array, cfg: WorldConfig, rcfg: RenderConfig,
     Must run INSIDE a ``shard_map`` over ``axis`` (``trace_volume_sharded``
     wraps it for standalone use; ``render_frame_volume`` calls it per
     pipeline trace).  Ray inputs must be identical on every device.
+
+    ``handoff_cap`` bounds each per-round per-direction ppermute packet
+    (default: full buffer capacity).  Exit rays that do not fit stay in
+    the local buffer and retry next round (their out-of-slab start
+    re-classifies as an exit immediately, costing ~no trace work); the
+    default ``rounds`` grows by ceil(cap/handoff_cap) to absorb retries.
+    Load-balancing lever: with coherent camera rays only a small fraction
+    crosses a face per round, so ICI bytes shrink by cap/handoff_cap.
     """
     n = n_shards
     lcfg = local_config(cfg, n)
     slab = float(cfg.size_z // n)
-    rounds = (n + 2) if rounds is None else rounds
     N = ox.shape[0]
     cap = -(-N // 4096) * 4096  # trace buffers run as (cap/4096, 4096)
+    hcap = cap if handoff_cap is None else min(handoff_cap, cap)
+    if rounds is None:
+        rounds = n + 2 + (0 if hcap == cap else -(-cap // hcap))
     sentinel = cap  # out-of-range id -> scatter mode="drop" discards
 
     def pad(a, fill):
@@ -160,13 +174,31 @@ def trace_ring(tbl: jax.Array, cfg: WorldConfig, rcfg: RenderConfig,
         poz = jnp.where(live, qoz - z0, -10.0)
         pt = jnp.where(live, qt, 0.0)
         shp = (-1, 4096)
-        res = wavefront.trace(
-            None, None, lcfg, rcfg,
-            pox.reshape(shp), qoy.reshape(shp), poz.reshape(shp),
-            qdx.reshape(shp), qdy.reshape(shp), qdz.reshape(shp),
-            pt.reshape(shp), table=tbl, sky_y=sky_y,
-            z_edges=(is_first, is_last), quantize_start_fp16=False)
-        res = jax.tree.map(lambda a: a.reshape(-1), res)
+
+        def do_trace():
+            r = wavefront.trace(
+                None, None, lcfg, rcfg,
+                pox.reshape(shp), qoy.reshape(shp), poz.reshape(shp),
+                qdx.reshape(shp), qdy.reshape(shp), qdz.reshape(shp),
+                pt.reshape(shp), table=tbl, sky_y=sky_y,
+                z_edges=(is_first, is_last), quantize_start_fp16=False)
+            # .steps can come out replicated (pure loop-counter); unify
+            return jax.tree.map(lambda a: _vary(a.reshape(-1)), r)
+
+        def no_trace():
+            f32 = lambda: jnp.zeros((cap,), _F32)
+            i32 = lambda: jnp.zeros((cap,), _I32)
+            r = wavefront.TraceResult(
+                hit=jnp.zeros((cap,), bool), px=f32(), py=f32(), pz=f32(),
+                nx=f32(), ny=f32(), nz=f32(), uv_u=f32(), uv_v=f32(),
+                its=i32(), t=f32(), exit_dir=i32(), steps=i32())
+            return jax.tree.map(_vary, r)  # match do_trace's varying vma
+
+        # devices with an empty buffer skip the whole superstep machine
+        # (in round 0 every ray starts in ONE slab for camera frames -
+        # without this, the other n-1 devices pay the full parked-trace
+        # floor every round)
+        res = jax.lax.cond(jnp.any(live), do_trace, no_trace)
 
         term = live & (res.exit_dir == 0)
         sids = jnp.where(term, rid, sentinel)
@@ -206,18 +238,33 @@ def trace_ring(tbl: jax.Array, cfg: WorldConfig, rcfg: RenderConfig,
         t_new = jnp.maximum(t_exit, t_face)
         send = [rid, qox, qoy, qoz, qdx, qdy, qdz, t_new, tot_its,
                 jnp.ones_like(rid)]
-        lo_pkt, _ = _pack(ex_lo, send, cap, sentinel)
-        hi_pkt, _ = _pack(ex_hi, send, cap, sentinel)
+        if hcap < cap:
+            # bounded packets: only the first hcap exits per direction
+            # ship this round; the rest stay local and retry (their
+            # out-of-slab resume start re-exits immediately next round)
+            def bounded(valid):
+                rank = jnp.cumsum(valid.astype(_I32)) - 1
+                return valid & (rank < hcap)
+
+            ship_lo, ship_hi = bounded(ex_lo), bounded(ex_hi)
+            stay = (ex_lo & ~ship_lo) | (ex_hi & ~ship_hi)
+        else:
+            ship_lo, ship_hi = ex_lo, ex_hi
+            stay = None
+        lo_pkt, _ = _pack(ship_lo, send, hcap, sentinel)
+        hi_pkt, _ = _pack(ship_hi, send, hcap, sentinel)
         down = [(i, (i - 1) % n) for i in range(n)]
         up = [(i, (i + 1) % n) for i in range(n)]
         recv_hi = [jax.lax.ppermute(f, axis, up) for f in hi_pkt]
         recv_lo = [jax.lax.ppermute(f, axis, down) for f in lo_pkt]
         # wrap-around slots carry no valid rays (edge shards convert
         # boundary exits to misses), but mask them anyway
-        merged_valid = jnp.concatenate(
-            [recv_hi[0] < sentinel, recv_lo[0] < sentinel])
-        merged = [jnp.concatenate([a, b])
-                  for a, b in zip(recv_hi, recv_lo)]
+        parts = [recv_hi, recv_lo]
+        if stay is not None:
+            stay_pkt = [jnp.where(stay, send[0], sentinel)] + send[1:]
+            parts.append(stay_pkt)
+        merged_valid = jnp.concatenate([p[0] < sentinel for p in parts])
+        merged = [jnp.concatenate(fs) for fs in zip(*parts)]
         fields, _ = _pack(merged_valid, merged, cap, sentinel)
         return (fields, out), None
 
@@ -243,7 +290,8 @@ def _ring_result(out: dict, N: int) -> wavefront.TraceResult:
 
 @functools.lru_cache(maxsize=None)
 def _trace_volume_jit(cfg: WorldConfig, rcfg: RenderConfig, mesh: Mesh,
-                      have_sky: bool, axis: str, rounds: int | None):
+                      have_sky: bool, axis: str, rounds: int | None,
+                      handoff_cap: int | None):
     """Cached jitted shard_map ring trace.  shard_map must never bind
     eagerly: the unjitted fallback interprets the tracer per device
     (minutes instead of seconds on the virtual CPU mesh)."""
@@ -252,7 +300,8 @@ def _trace_volume_jit(cfg: WorldConfig, rcfg: RenderConfig, mesh: Mesh,
 
     def shard_fn(tbl, ox, oy, oz, dx, dy, dz, t0, sky_y):
         return trace_ring(tbl, cfg, rcfg, n, ox, oy, oz, dx, dy, dz, t0,
-                          sky_y=sky_y, axis=axis, rounds=rounds)
+                          sky_y=sky_y, axis=axis, rounds=rounds,
+                          handoff_cap=handoff_cap)
 
     fn = shard_map(shard_fn, mesh=mesh,
                    in_specs=(P(axis),) + (rep,) * 8,
@@ -267,20 +316,24 @@ def trace_volume_sharded(tables: jax.Array, cfg: WorldConfig,
                          rcfg: RenderConfig, mesh: Mesh,
                          ox, oy, oz, dx, dy, dz, t0,
                          sky_y=None, axis: str = "z",
-                         rounds: int | None = None) -> wavefront.TraceResult:
+                         rounds: int | None = None,
+                         handoff_cap: int | None = None,
+                         ) -> wavefront.TraceResult:
     """Trace flat ray arrays against the z-slab-sharded world.
 
     Inputs are replicated 1-D arrays of equal length N; returns a
     TraceResult of replicated (N,) arrays (exit_dir always 0).
     """
     N = ox.shape[0]
-    fn = _trace_volume_jit(cfg, rcfg, mesh, sky_y is not None, axis, rounds)
+    fn = _trace_volume_jit(cfg, rcfg, mesh, sky_y is not None, axis, rounds,
+                           handoff_cap)
     return _ring_result(fn(tables, ox, oy, oz, dx, dy, dz, t0, sky_y), N)
 
 
 @functools.lru_cache(maxsize=None)
 def _render_volume_jit(ecfg, mesh: Mesh, include_gi: bool, have_sky: bool,
-                       axis: str, rounds: int | None):
+                       axis: str, rounds: int | None,
+                       handoff_cap: int | None):
     from rvgrt_tpu.render import pipeline
     from rvgrt_tpu.render.pipeline import CameraArrays, FrameOutputs
 
@@ -297,7 +350,8 @@ def _render_volume_jit(ecfg, mesh: Mesh, include_gi: bool, have_sky: bool,
                                      shape).reshape(-1)
                     for a in (ox, oy, oz, dx, dy, dz, t0)]
             out = trace_ring(tbl, cfg, rcfg, n, *flat, sky_y=sky_y,
-                             axis=axis, rounds=rounds)
+                             axis=axis, rounds=rounds,
+                             handoff_cap=handoff_cap)
             res = _ring_result(out, flat[0].shape[0])
             return jax.tree.map(lambda a: a.reshape(shape), res)
 
@@ -318,7 +372,8 @@ def _render_volume_jit(ecfg, mesh: Mesh, include_gi: bool, have_sky: bool,
 def render_frame_volume(tables: jax.Array, sdf_replicated, gi, atlas,
                         cam, ecfg, mesh: Mesh, include_gi: bool = True,
                         sky_y=None, axis: str = "z",
-                        rounds: int | None = None):
+                        rounds: int | None = None,
+                        handoff_cap: int | None = None):
     """Full per-frame pipeline against the z-slab-sharded world.
 
     Every ray cast the pipeline issues (cascade, prepass, shadows, primary,
@@ -332,5 +387,5 @@ def render_frame_volume(tables: jax.Array, sdf_replicated, gi, atlas,
     minutes instead of seconds).
     """
     fn = _render_volume_jit(ecfg, mesh, include_gi, sky_y is not None,
-                            axis, rounds)
+                            axis, rounds, handoff_cap)
     return fn(tables, sdf_replicated, gi, atlas, cam, sky_y)

@@ -156,3 +156,34 @@ def test_volume_sharded_full_frame_matches_single_device(world64):
     assert frac_off < 0.03, (psnr, frac_off)
     # depth/motion come from the same hit geometry
     assert np.isfinite(np.asarray(vol.depth)).all()
+
+
+def test_volume_trace_bounded_handoff_matches_unbounded(world64):
+    """handoff_cap with overflow-retry must reproduce the unbounded ring
+    exactly: packets are bounded per round, overflow rays stay local and
+    retry, the auto rounds margin absorbs the retries.  hcap=64 with 512
+    rays on 8 slabs forces real overflow (many rays cross the camera-slab
+    faces in round 0)."""
+    cfg, bits, sdf = world64
+    rcfg = RenderConfig()
+    mesh = Mesh(jax.devices()[:8], ("z",))
+    tables = volume.build_shard_tables(bits, sdf, cfg, mesh)
+
+    n = 512
+    o, d = _rays(n, 5, cfg.size_x)
+    t0 = np.zeros(n, np.float32)
+    args = [jnp.asarray(a) for a in
+            (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], t0)]
+
+    full = volume.trace_volume_sharded(tables, cfg, rcfg, mesh, *args)
+    bounded = volume.trace_volume_sharded(tables, cfg, rcfg, mesh, *args,
+                                          handoff_cap=64)
+    for name in ("hit", "px", "py", "pz", "nx", "ny", "nz",
+                 "uv_u", "uv_v", "t"):
+        np.testing.assert_array_equal(np.asarray(getattr(full, name)),
+                                      np.asarray(getattr(bounded, name)),
+                                      err_msg=name)
+    # retries add rounds, never iterations: an overflow stayer re-exits
+    # from its out-of-slab start without marching
+    np.testing.assert_array_equal(np.asarray(full.its),
+                                  np.asarray(bounded.its))
