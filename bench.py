@@ -226,8 +226,7 @@ def main():
         if include_gi:
             # reference rate: 2 rays (sun + bounce) per updated GI cell
             # (GlobalIlluminate, CoarseArray.cu:273-355)
-            rays["gi_update"] = 2 * min(ec.gi_rays_per_frame,
-                                        ec.world.gi_num_cells)
+            rays["gi_update"] = 2 * ec.gi_window
         total_rays = sum(rays.values())
         mrays = total_rays * fps / 1e6
         log(f"[{label}] {frames} frames in {dt:.2f}s -> {fps:.2f} FPS, "

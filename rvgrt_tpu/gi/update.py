@@ -107,7 +107,7 @@ def update_gi(gi: jax.Array, bits, sdf, atlas, ecfg: EngineConfig,
     """One progressive sweep slice: update ``gi_rays_per_frame`` cells
     starting at ``offset`` (GlobalIlluminate, CoarseArray.cu:273-355)."""
     cfg, lcfg, rcfg = ecfg.world, ecfg.lighting, ecfg.render
-    n = min(ecfg.gi_rays_per_frame, cfg.gi_num_cells)
+    n = ecfg.gi_window
     if table is None:
         table = wavefront.make_trace_table(bits, sdf, cfg)
     idx = offset.astype(jnp.int32) + jnp.arange(n, dtype=jnp.int32)
@@ -194,7 +194,7 @@ def gi_delta(prev: jax.Array, new: jax.Array) -> jax.Array:
 def advance_offset(offset: int, ecfg: EngineConfig) -> int:
     """Round-robin window walk, wrapping at the grid size
     (CoarseArray.cu:392-394)."""
-    n = min(ecfg.gi_rays_per_frame, ecfg.world.gi_num_cells)
+    n = ecfg.gi_window
     if offset + n >= ecfg.world.gi_num_cells:
         return 0
     return offset + n

@@ -97,7 +97,7 @@ def _update_gi_sharded_jit(ecfg: EngineConfig, mesh: Mesh):
     """Cached jitted shard_map GI update (see _render_sharded_jit on why
     shard_map must never bind eagerly)."""
     n_dev = mesh.shape["rays"]
-    n = min(ecfg.gi_rays_per_frame, ecfg.world.gi_num_cells)
+    n = ecfg.gi_window
     assert n % n_dev == 0
     per_dev = n // n_dev
 

@@ -85,12 +85,39 @@ def depth_to_space_cf(x_hwc: jnp.ndarray, s: int, c_out: int):
     return rows.transpose(0, 2, 1)  # (c_out, s*h, s*w)
 
 
-def warp_history(history: jnp.ndarray, motion_lowres: jnp.ndarray):
+def _pack_rgb8(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) f32 [0,1] -> (H, W) uint32 (r | g<<8 | b<<16)."""
+    q = jnp.clip(jnp.round(img * 255.0), 0.0, 255.0).astype(jnp.uint32)
+    return q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)
+
+
+def _unpack_rgb8_cf(w: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) uint32 -> (3, H, W) f32 [0,1] (channel-FIRST: a (H, W, 3)
+    stack at display res takes the lanes-of-3 TPU layout, 42.7x padding)."""
+    f = _F32(1.0 / 255.0)
+    return jnp.stack([(w & 0xFF).astype(_F32) * f,
+                      ((w >> 8) & 0xFF).astype(_F32) * f,
+                      ((w >> 16) & 0xFF).astype(_F32) * f], axis=0)
+
+
+def warp_history(history: jnp.ndarray, motion_lowres: jnp.ndarray,
+                 mode: str = "bilinear_packed"):
     """Reproject the previous high-res frame using low-res motion vectors.
 
     Motion is the NDC delta current-previous (y negated, matching the DLSS
     convention the reference feeds - StateRender.cu:241,251): the previous
     position of out-pixel p is p - motion_px.
+
+    ``mode`` trades gather count (the entire cost - XLA TPU gathers are
+    ~7.5 ns per element, so 4 taps x 3 channels x 9.2M display pixels was
+    0.83 s/frame at 3840x2400, as much as the whole base render):
+      * ``bilinear``        - 4 taps x 3 channels (the original; exact)
+      * ``bilinear_packed`` - RGB packed into one u32/pixel, 4 taps (3x
+        fewer gathers; history quantized to 8 bits - the displayed frame
+        is 8-bit anyway, and a <=1/255 input perturbation is far below
+        the blend's noise floor)
+      * ``nearest_packed``  - 1 tap (12x fewer; <=0.5 px resample shift,
+        for perf-first operating points)
     """
     hh, hw = history.shape[0], history.shape[1]
     # resize per component: a (H, W, 2) resize temp takes the lanes-of-2
@@ -101,8 +128,31 @@ def warp_history(history: jnp.ndarray, motion_lowres: jnp.ndarray):
     # buffer already negates y, so both axes map with +0.5 * size.
     xs = jnp.arange(hw, dtype=_F32)[None, :] - mvx * (0.5 * hw)
     ys = jnp.arange(hh, dtype=_F32)[:, None] - mvy * (0.5 * hh)
-    return bilinear_sample(history, jnp.broadcast_to(xs, (hh, hw)),
-                           jnp.broadcast_to(ys, (hh, hw)))
+    xs = jnp.broadcast_to(xs, (hh, hw))
+    ys = jnp.broadcast_to(ys, (hh, hw))
+    if mode == "bilinear":
+        return bilinear_sample(history, xs, ys)
+    packed = _pack_rgb8(history)
+    x = jnp.clip(xs, 0.0, hw - 1.0)
+    y = jnp.clip(ys, 0.0, hh - 1.0)
+    if mode == "nearest_packed":
+        xi = jnp.round(x).astype(jnp.int32)
+        yi = jnp.round(y).astype(jnp.int32)
+        return _unpack_rgb8_cf(packed[yi, xi]).transpose(1, 2, 0)
+    assert mode == "bilinear_packed", mode
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, hw - 1)
+    y1 = jnp.minimum(y0 + 1, hh - 1)
+    fx = (x - x0)[None]
+    fy = (y - y0)[None]
+    a = _unpack_rgb8_cf(packed[y0, x0])
+    b = _unpack_rgb8_cf(packed[y0, x1])
+    c = _unpack_rgb8_cf(packed[y1, x0])
+    d = _unpack_rgb8_cf(packed[y1, x1])
+    out = (a * (1 - fx) * (1 - fy) + b * fx * (1 - fy)
+           + c * (1 - fx) * fy + d * fx * fy)
+    return out.transpose(1, 2, 0)
 
 
 class UpscalerNet(nn.Module):
@@ -189,9 +239,9 @@ def init_params(key, height: int, width: int, features: int = 32):
 
 
 def upscale(net: UpscalerNet, params, color, motion, depth, jitter,
-            history):
+            history, warp_mode: str = "bilinear_packed"):
     """One DLSS-evaluate equivalent: warp history, run the net."""
-    warped = warp_history(history, motion)
+    warped = warp_history(history, motion, mode=warp_mode)
     out, alpha = net.apply(params, color, motion, depth, jitter, warped)
     return out, alpha
 

@@ -34,14 +34,22 @@ def test_warp_history_identity_and_shift():
     rng = np.random.default_rng(1)
     hist = jnp.asarray(rng.random((12, 18, 3)), jnp.float32)
     zero_mv = jnp.zeros((4, 6, 2), jnp.float32)
-    warped = up.warp_history(hist, zero_mv)
+    warped = up.warp_history(hist, zero_mv, mode="bilinear")
     np.testing.assert_allclose(np.asarray(warped), np.asarray(hist),
                                atol=1e-6)
+    # the default packed path quantizes history to 8 bits (the display
+    # depth) to cut gathers 3x; identity must hold to that precision
+    warped = up.warp_history(hist, zero_mv)
+    np.testing.assert_allclose(np.asarray(warped), np.asarray(hist),
+                               atol=1.0 / 255.0 + 1e-6)
     # uniform motion of +2 NDC-x/hw pixels shifts the lookup left
-    mv = jnp.zeros((4, 6, 2), jnp.float32).at[..., 0].set(2.0 * 2.0 / 18.0)
-    warped = np.asarray(up.warp_history(hist, mv))
-    np.testing.assert_allclose(warped[:, 2:], np.asarray(hist)[:, :-2],
-                               atol=1e-5)
+    for mode, tol in (("bilinear", 1e-5), ("bilinear_packed", 1 / 255),
+                      ("nearest_packed", 1 / 255)):
+        mv = jnp.zeros((4, 6, 2), jnp.float32).at[..., 0].set(
+            2.0 * 2.0 / 18.0)
+        warped = np.asarray(up.warp_history(hist, mv, mode=mode))
+        np.testing.assert_allclose(warped[:, 2:], np.asarray(hist)[:, :-2],
+                                   atol=tol + 1e-6, err_msg=mode)
 
 
 def test_train_step_reduces_loss():
