@@ -230,6 +230,20 @@ class RenderConfig:
     # tens of steps)
     max_supersteps: int = 2048
 
+    # straggler respite (wavefront._trace_two_phase): > 0 = run every lane
+    # for at most this many supersteps, then compact the unfinished rays
+    # into dense tiles and finish them at full budget.  Tile retirement
+    # pays the tile's WORST lane, and silhouette-grazing stragglers run
+    # 100+ supersteps while the tile mean needs ~10 (a measured 4-5x tax
+    # at 1280x800/1024^3).  Hit flags/normals match single-phase exactly,
+    # positions/UVs to fp tolerance; ``its`` drifts by the documented
+    # resume re-entry accounting, so the default is off wherever
+    # reference-exact its matters (golden tests).  straggler_cap_frac
+    # bounds the phase-2 buffer (2.5x margin over observed straggler
+    # fractions).
+    straggler_budget: int = 0
+    straggler_cap_frac: float = 0.25
+
     miss_distance: float = 300.0  # distApproximationKernel miss (StateRender.cu:276)
     dist_bias: float = 8.0        # conservative bias (StateRender.cu:284)
 

@@ -175,7 +175,8 @@ def trace(bits: jax.Array, sdf: jax.Array, cfg: WorldConfig,
           quantize_start_fp16: bool = True,
           table: jax.Array | None = None,
           row_tiles: int | None = None,
-          sky_y=None, z_edges=None) -> TraceResult:
+          sky_y=None, z_edges=None,
+          _return_resume: bool = False) -> TraceResult:
     """Trace rays (any common broadcast shape) through the world.
 
     ``t_start`` mirrors the reference's ``half distance`` parameter: the
@@ -204,6 +205,14 @@ def trace(bits: jax.Array, sdf: jax.Array, cfg: WorldConfig,
     args = tuple(jnp.broadcast_to(jnp.asarray(a, _F32), shape)
                  for a in (ox, oy, oz, dx, dy, dz, t_start))
 
+    n_total = 1
+    for s_ in shape:
+        n_total *= s_
+    if (rcfg.straggler_budget > 0 and z_edges is None
+            and not _return_resume and n_total >= 4 * 4096):
+        return _trace_two_phase(table, cfg, rcfg, args, shape,
+                                quantize_start_fp16, sky_y, row_tiles)
+
     if len(shape) == 2:
         h, w = shape
         if row_tiles is not None:
@@ -225,7 +234,8 @@ def trace(bits: jax.Array, sdf: jax.Array, cfg: WorldConfig,
         res = jax.lax.map(
             lambda t: _trace_impl(table, cfg, rcfg, *t,
                                   quantize_start_fp16=quantize_start_fp16,
-                                  sky_y=sky_y, z_edges=z_edges),
+                                  sky_y=sky_y, z_edges=z_edges,
+                                  return_resume=_return_resume),
             tiled)
         out = tuple(
             r.reshape(ty, tx, th, tw).transpose(0, 2, 1, 3).reshape(h, w)
@@ -233,13 +243,109 @@ def trace(bits: jax.Array, sdf: jax.Array, cfg: WorldConfig,
         return TraceResult(*out)
     return _trace_impl(table, cfg, rcfg, *args,
                        quantize_start_fp16=quantize_start_fp16, sky_y=sky_y,
-                       z_edges=z_edges)
+                       z_edges=z_edges, return_resume=_return_resume)
+
+
+def _trace_two_phase(table, cfg: WorldConfig, rcfg: RenderConfig, args,
+                     shape, quantize_start_fp16: bool, sky_y,
+                     row_tiles) -> TraceResult:
+    """Straggler respite: short-budget phase 1 over every lane, then the
+    few unfinished rays compacted into DENSE tiles and finished.
+
+    Tile retirement makes the superstep loop pay the tile's WORST lane:
+    silhouette-grazing stragglers run 100+ supersteps while the tile mean
+    needs ~10, a measured 4-5x tax at 1280x800/1024^3 (mean its 10.4,
+    ~42 supersteps/tile).  Phase 1 caps the budget at
+    ``rcfg.straggler_budget`` supersteps; lanes still marching export a
+    resume point (exit_dir 2/3, _trace_impl return_resume) and are packed
+    with ``jnp.nonzero(size=cap)`` into a buffer of
+    ``straggler_cap_frac * N`` lanes that re-enters the tracer at full
+    budget.  Traversal is memoryless in position, so phase 2 finds the
+    same surface: hit flags and normals match single-phase exactly;
+    positions/UVs match to fp tolerance (tMax is re-derived from the
+    resume point); ``its`` drifts by the resume re-entry accounting
+    (+1 major entry for sphere lanes; DDA lanes additionally re-test the
+    1-2 cells behind the backed-up resume point - approximated by the
+    -2 correction below, so its is exact for sphere lanes and +-2 for
+    DDA lanes).  Stragglers beyond the cap (never observed under the
+    2.5x margin; a documented bound, tested at forced-tiny caps) fall
+    back to miss.
+    """
+    import dataclasses
+
+    N = 1
+    for s_ in shape:
+        N *= s_
+    rcfg1 = dataclasses.replace(rcfg, max_supersteps=rcfg.straggler_budget)
+    r1 = trace(None, None, cfg, rcfg1, *args,
+               quantize_start_fp16=quantize_start_fp16, table=table,
+               row_tiles=row_tiles, sky_y=sky_y, _return_resume=True)
+    r1 = jax.tree.map(lambda a: a.reshape(-1), r1)
+
+    capn = -(-max(4096, int(N * rcfg.straggler_cap_frac)) // 4096) * 4096
+    capn = min(capn, -(-N // 4096) * 4096)
+    code = r1.exit_dir
+    unfin = code >= 2
+    take = jnp.nonzero(unfin, size=capn, fill_value=N)[0]
+    ok = take < N
+    gtake = jnp.minimum(take, N - 1)
+
+    gather = lambda a: a[gtake]
+    o2 = [gather(a.reshape(-1)) for a in args[:3]]
+    d2 = [gather(a.reshape(-1)) for a in args[3:6]]
+    code_t = gather(code)
+    # resume t: exact current position (sphere) / 0.25 voxels BEHIND the
+    # current-cell entry (DDA).  Backing up is the safety move: a DDA lane
+    # whose budget expired right after stepping carries an entry point to a
+    # cell whose solidity was never tested - resuming inside it would turn
+    # a solid pending cell into a degenerate first-cell hit (normal = 0)
+    # instead of the proper face hit.  Every point strictly before the
+    # entry on the ray is in free space (the segment [0, first-hit) is
+    # free by definition and prepass starts honor the conservative-start
+    # contract), so the resumed sphere phase re-converges and the DDA
+    # re-enters the pending cell through its face with the correct mask.
+    t2 = gather(r1.t) - jnp.where(code_t == 3, _F32(0.25), _F32(0.0))
+    t2 = jnp.maximum(t2, _F32(0.0))
+    its1 = gather(r1.its)
+    steps1 = gather(r1.steps)
+    # park the padding slots at an OOB start (init-retire)
+    o2 = [jnp.where(ok, v, _F32(-10.0)) for v in o2]
+    t2 = jnp.where(ok, t2, _F32(0.0))
+
+    shp2 = (capn // 4096, 4096)
+    rcfg2 = dataclasses.replace(rcfg, straggler_budget=0)
+    r2 = trace(None, None, cfg, rcfg2,
+               *[v.reshape(shp2) for v in o2 + d2], t2.reshape(shp2),
+               quantize_start_fp16=False, table=table, sky_y=sky_y)
+    r2 = jax.tree.map(lambda a: a.reshape(-1), r2)
+
+    # merge: finished phase-2 lanes overwrite their phase-1 slots
+    ids = jnp.where(ok, take, N)  # N -> scatter mode="drop"
+    corr = jnp.where(code_t == 3, _I32(2), _I32(1))
+    its2 = jnp.maximum(its1 + r2.its - corr, its1)
+    put = lambda f1, f2: f1.at[ids].set(f2, mode="drop")
+    out = TraceResult(
+        hit=put(r1.hit, r2.hit),
+        px=put(r1.px, r2.px), py=put(r1.py, r2.py), pz=put(r1.pz, r2.pz),
+        nx=put(r1.nx, r2.nx), ny=put(r1.ny, r2.ny), nz=put(r1.nz, r2.nz),
+        uv_u=put(r1.uv_u, r2.uv_u), uv_v=put(r1.uv_v, r2.uv_v),
+        its=put(r1.its, its2), t=put(r1.t, r2.t),
+        exit_dir=jnp.zeros_like(r1.exit_dir),
+        steps=put(r1.steps, steps1 + r2.steps))
+    # over-cap stragglers (if any) degrade to the miss payload
+    leftover = unfin.at[ids].set(False, mode="drop")
+    out = out._replace(
+        px=jnp.where(leftover, _F32(MISS_POS), out.px),
+        py=jnp.where(leftover, _F32(MISS_POS), out.py),
+        pz=jnp.where(leftover, _F32(MISS_POS), out.pz),
+        t=jnp.where(leftover, _F32(0.0), out.t))
+    return jax.tree.map(lambda a: a.reshape(shape), out)
 
 
 def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
                 ox, oy, oz, dx, dy, dz, t0,
                 quantize_start_fp16: bool, sky_y=None,
-                z_edges=None) -> TraceResult:
+                z_edges=None, return_resume: bool = False) -> TraceResult:
     if quantize_start_fp16:
         t0 = t0.astype(jnp.float16).astype(_F32)
 
@@ -572,6 +678,26 @@ def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
         exited = exit_lo | exit_hi
         keep = hit | exited
         exit_dir = jnp.where(exit_lo, -1, jnp.where(exit_hi, 1, 0))
+    elif return_resume:
+        # straggler respite (trace() two-phase scheme): lanes still in
+        # SPHERE/DDA when the superstep budget ran out export a resume
+        # point instead of reading as misses.  exit_dir 2 = sphere lane
+        # (resume at its current march position); 3 = DDA lane (payload =
+        # entry point of its current cell; the caller backs the resume up
+        # 0.25 voxels because that cell's solidity may not have been
+        # tested yet).  Traversal is memoryless in position, so phase 2
+        # finds the same surface; ``its`` drifts by the re-entry
+        # accounting, corrected approximately by the caller.
+        unf_sphere = phase == PHASE_SPHERE
+        unf_dda = phase == PHASE_DDA
+        unfinished = unf_sphere | unf_dda
+        # sphere lanes: current position; DDA lanes: current-cell entry
+        # (the hx/hy/hz reconstruction above)
+        hx = jnp.where(unf_sphere, final["px"], hx)
+        hy = jnp.where(unf_sphere, final["py"], hy)
+        hz = jnp.where(unf_sphere, final["pz"], hz)
+        keep = hit | unfinished
+        exit_dir = jnp.where(unf_sphere, 2, jnp.where(unf_dda, 3, 0))
     else:
         keep = hit
         exit_dir = jnp.zeros_like(final["its"])

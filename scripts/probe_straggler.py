@@ -1,18 +1,11 @@
-"""Round-2 probe B: GI window scaling, history-warp variants, probe-interval.
+"""Round-2 probe C: straggler-respite budget sweep at the operating point.
 
-Within-run A/Bs at the stage-5 operating point (only same-process numbers
-are load-bearing through the tunnel, PERF.md):
+Within-run A/B (only same-process numbers are load-bearing through the
+tunnel, PERF.md): prepass pair + full-res primary at 1280x800/1024^3 with
+straggler_budget in {0, 12, 16, 24, 32} at the production cap (0.25).
+Also verifies hit-fraction consistency vs single-phase on-device.
 
-  1. world build wall time with a warm persistent compile cache
-     (VERDICT item 3: target < 60 s at 1024^3);
-  2. GI update: derived reference-relative window (gi_num_cells/512) vs
-     the reference's absolute RAYPS = 64^3 window;
-  3. upscale step: bilinear (f32 x 3 gathers/tap) vs bilinear_packed
-     (u32, 1 gather/tap) vs nearest_packed (1 tap);
-  4. prepass pair + full-res primary with sdf_probe_interval 8 (reference)
-     vs 4 (2x more long-jump opportunities).
-
-Usage: python scripts/probe_r2b.py [--cube 10 --w 1280 --h 800 --reps 3]
+Usage: python scripts/probe_straggler.py [--cube 10 --w 1280 --h 800]
 """
 
 from __future__ import annotations
@@ -42,7 +35,6 @@ def main():
 
     from rvgrt_tpu.config import EngineConfig, RenderConfig, WorldConfig
     from rvgrt_tpu.driver import engine as eng_mod
-    from rvgrt_tpu.gi import update as gi_update
     from rvgrt_tpu.render import pipeline
     from rvgrt_tpu.trace import wavefront
 
@@ -50,7 +42,7 @@ def main():
         world=WorldConfig().with_cube(args.cube),
         render=dataclasses.replace(RenderConfig(), width=args.w,
                                    height=args.h))
-    cfg, rcfg, lcfg = ecfg.world, ecfg.render, ecfg.lighting
+    cfg, rcfg0, lcfg = ecfg.world, ecfg.render, ecfg.lighting
     print(f"device={jax.devices()[0]} world={2**args.cube}^3 "
           f"{args.w}x{args.h}", flush=True)
 
@@ -59,8 +51,8 @@ def main():
     print(f"tunnel setup {time.time() - t0:.1f}s", flush=True)
 
     t0 = time.time()
-    world = eng_mod.build_world(ecfg, verbose=True, init_gi=True)
-    print(f"world build (warm cache) {time.time() - t0:.1f}s", flush=True)
+    world = eng_mod.build_world(ecfg, verbose=True, init_gi=False)
+    print(f"world build {time.time() - t0:.1f}s", flush=True)
 
     cx, cz = cfg.size_x // 2, cfg.size_z // 2
 
@@ -99,50 +91,15 @@ def main():
             float(jnp.sum(leaf).astype(jnp.float32))
             ts.append((time.time() - t) * 1e3)
         med = sorted(ts)[len(ts) // 2]
-        print(f"{name:52s} {med:9.1f} ms  (min {min(ts):.1f})", flush=True)
+        print(f"{name:54s} {med:9.1f} ms  (min {min(ts):.1f})", flush=True)
         return r
 
     h, w = args.h, args.w
     sky_y = world.sky_y
 
-    # ---- 2. GI window A/B ----
-    for label, ec in (
-            (f"derived ({ecfg.gi_window} cells)", ecfg),
-            ("RAYPS 64^3",
-             dataclasses.replace(ecfg, gi_rays_per_frame=64 ** 3))):
-        # big arrays MUST be jit args: closed-over device arrays embed as
-        # program constants and blow the remote compile service's request
-        # size limit (HTTP 413)
-        gj = jax.jit(lambda gi, b, s, a, t, sy, fr, off, _ec=ec:
-                     gi_update.update_gi(gi, b, s, a, _ec, fr, off,
-                                         sky_y=sy, table=t))
-        timeit(f"GI update [{label}]", gj, world.gi, world.bits, world.sdf,
-               world.atlas, world.trace_table, sky_y, jnp.uint32(1),
-               jnp.int32(0))
-
-    # ---- 3. upscale warp variants ----
-    from rvgrt_tpu.upscale import model as up_model
-    ckpt = os.path.join(os.path.dirname(__file__), "..", "checkpoints",
-                        "upscaler.pkl")
-    if os.path.exists(ckpt):
-        net, params = up_model.load_checkpoint(ckpt)
-    else:
-        net, params = up_model.init_params(jax.random.PRNGKey(0), h, w)
-    base_j = jax.jit(lambda b, s, g, a, t, sy: pipeline.render_frame(
-        b, s, g, a, cam, ecfg, include_gi=False, sky_y=sy, table=t))
-    out = base_j(world.bits, world.sdf, world.gi, world.atlas,
-                 world.trace_table, sky_y)
-    hist = jnp.zeros((h * up_model.SCALE, w * up_model.SCALE, 3),
-                     jnp.float32)
-    for mode in ("bilinear", "bilinear_packed", "nearest_packed"):
-        uj = jax.jit(lambda c, m, d, hi, _m=mode: up_model.upscale(
-            net, params, c, m, d, cam.jitter, hi, warp_mode=_m)[0])
-        timeit(f"3x upscale [{mode}]", uj, out.color, out.motion,
-               out.depth, hist)
-
-    # ---- 4. probe-interval A/B (prepass pair + full-res primary) ----
-    for interval in (8, 4):
-        rc = dataclasses.replace(rcfg, sdf_probe_interval=interval)
+    ref_hits = None
+    for budget in (0, 12, 16, 24, 32):
+        rc = dataclasses.replace(rcfg0, straggler_budget=budget)
 
         def prepass(t, sy, _rc=rc):
             return pipeline.half_res_prepass(None, None, cfg, _rc, lcfg,
@@ -153,17 +110,23 @@ def main():
             r = wavefront.trace(None, None, cfg, _rc,
                                 cam.pos[0], cam.pos[1], cam.pos[2],
                                 dx, dy, dz, st, table=t, sky_y=sy)
-            return r.its
+            return r.hit, r.its
 
         pj = jax.jit(prepass)
         hd, _ = pj(world.trace_table, sky_y)
-        timeit(f"prepass pair [interval={interval}]", pj,
+        timeit(f"prepass pair [budget={budget}]", pj,
                world.trace_table, sky_y)
         start = pipeline.min_dist_upsample(hd)
-        its = timeit(f"full-res primary [interval={interval}]",
-                     jax.jit(primary), world.trace_table, sky_y, start)
-        print(f"    mean its/ray: "
+        hit, its = timeit(f"full-res primary [budget={budget}]",
+                          jax.jit(primary), world.trace_table, sky_y, start)
+        hf = float(jnp.mean(hit.astype(jnp.float32)))
+        print(f"    hit_frac={hf:.5f} mean_its="
               f"{float(jnp.mean(its.astype(jnp.float32))):.1f}", flush=True)
+        if budget == 0:
+            ref_hits = hit
+        else:
+            diff = int(jnp.sum(hit != ref_hits))
+            print(f"    hit flags vs single-phase: {diff} differ", flush=True)
 
     print("done", flush=True)
 

@@ -225,3 +225,92 @@ def test_far_extended_sdf_same_hits():
     # the extension must never cost iterations on average - it exists to
     # shed them
     assert np.asarray(r_ext.its).mean() <= np.asarray(r_base.its).mean()
+
+
+def test_straggler_two_phase_matches_single_phase(small_world):
+    """Two-phase straggler respite (RenderConfig.straggler_budget) must
+    reproduce single-phase results: hit flags and normals exactly,
+    positions/UVs to fp tolerance (phase 2 re-derives tMax from the
+    resume point).  Swept over small budgets so lanes expire at every
+    traversal phase - including right after stepping into a not-yet-
+    tested cell (the case the 0.25-voxel resume backup exists for)."""
+    import dataclasses
+
+    cfg, bits, sdf, _ = small_world
+    base = RenderConfig()
+
+    # camera-style 128x128 grid (>= the 4*4096-lane engage threshold)
+    # from an open-air valley spot looking around: ~85% hits with its up
+    # to ~37 - a mix of quick converges, long marches and grazers
+    h = w = 128
+    o = np.float32([47.5, 36.0, 32.5])
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    dx = -0.6 + 1.4 * (xs / w)
+    dy = 0.55 - 1.3 * (ys / h)
+    dz = -0.6 + 1.4 * (ys / h)
+    n_ = np.sqrt(dx * dx + dy * dy + dz * dz + 1e-8)
+    dx, dy, dz = dx / n_, dy / n_, dz / n_
+    t0 = jnp.zeros((h, w), jnp.float32)
+
+    ref = wavefront.trace(bits, sdf, cfg, base, o[0], o[1], o[2],
+                          dx, dy, dz, t0)
+    ref_hit = np.asarray(ref.hit)
+    assert ref_hit.any() and not ref_hit.all()
+
+    for budget in (4, 8, 16):
+        # cap_frac=1.0: every unfinished lane must resume (tiny budgets
+        # leave far more than the production 25% cap unfinished)
+        rcfg = dataclasses.replace(base, straggler_budget=budget,
+                                   straggler_cap_frac=1.0)
+        got = wavefront.trace(bits, sdf, cfg, rcfg, o[0], o[1], o[2],
+                              dx, dy, dz, t0)
+        np.testing.assert_array_equal(np.asarray(got.hit), ref_hit,
+                                      err_msg=f"budget={budget}")
+        assert np.all(np.asarray(got.exit_dir) == 0)
+        # normals: exact, except a tiny budget of voxel-corner fp
+        # near-ties (tMax re-derived from the resume point can flip the
+        # face pick when two axes cross at indistinguishable t).  Each
+        # such lane must still be a real face (nonzero normal) at the
+        # same position - never the degenerate normal=0 first-cell hit.
+        nm = np.zeros_like(ref_hit)
+        for a, b in ((got.nx, ref.nx), (got.ny, ref.ny), (got.nz, ref.nz)):
+            nm |= np.asarray(a) != np.asarray(b)
+        nm &= ref_hit
+        assert nm.sum() <= 3, f"budget={budget}: {nm.sum()} normal flips"
+        nnz = (np.abs(np.asarray(got.nx)) + np.abs(np.asarray(got.ny))
+               + np.abs(np.asarray(got.nz)))
+        assert np.all(nnz[nm] == 1.0), f"budget={budget}: degenerate normal"
+        for a, b in ((got.px, ref.px), (got.py, ref.py), (got.pz, ref.pz)):
+            np.testing.assert_allclose(np.asarray(a)[ref_hit],
+                                       np.asarray(b)[ref_hit], atol=2e-3,
+                                       err_msg=f"budget={budget}")
+        # UVs: modular distance (frac-of-face coords wrap 0.9999 <-> 0.0
+        # when the hit lands exactly on a voxel edge - same physical
+        # point, fp decides the side)
+        for a, b in ((got.uv_u, ref.uv_u), (got.uv_v, ref.uv_v)):
+            d = np.abs(np.asarray(a)[ref_hit & ~nm]
+                       - np.asarray(b)[ref_hit & ~nm])
+            d = np.minimum(d, 1.0 - d)
+            assert d.max() < 2e-3, f"budget={budget}: uv diff {d.max()}"
+        # misses keep the sentinel payload
+        np.testing.assert_array_equal(np.asarray(got.px)[~ref_hit], -500.0)
+        # its is a work metric: resume re-entry (major-loop entry, sphere
+        # re-convergence, 1-2 re-tested cells behind the backup point)
+        # drifts it by a few counts on resumed lanes only
+        its_err = np.abs(np.asarray(got.its).astype(np.int64)
+                         - np.asarray(ref.its).astype(np.int64))
+        assert its_err.max() <= 6 and its_err.mean() <= 1.0
+
+    # forced-tiny cap: over-cap stragglers degrade to miss, never crash
+    # (documented bound).  straggler_cap_frac ~ 0 floors the buffer at
+    # 4096 lanes; with budget=4 far more than 4096 lanes are unfinished.
+    rcfg = dataclasses.replace(base, straggler_budget=4,
+                               straggler_cap_frac=1e-6)
+    got = wavefront.trace(bits, sdf, cfg, rcfg, o[0], o[1], o[2],
+                          dx, dy, dz, t0)
+    hit = np.asarray(got.hit)
+    # every reported hit is a real single-phase hit with the same normal
+    assert np.all(ref_hit[hit])
+    for a, b in ((got.nx, ref.nx), (got.ny, ref.ny), (got.nz, ref.nz)):
+        np.testing.assert_array_equal(np.asarray(a)[hit],
+                                      np.asarray(b)[hit])
