@@ -73,7 +73,8 @@ def make_optimizer(lr: float = 1e-3, decay_steps: int | None = None):
 
 def render_pair_dataset(ecfg, n_frames: int, low_w: int, low_h: int,
                         include_gi: bool = False,
-                        segment_len: int = 12) -> Iterator[Sample]:
+                        segment_len: int = 12,
+                        path_seed: int = 0) -> Iterator[Sample]:
     """Render (low-res inputs, 3x high-res target) pairs along a
     deterministic flythrough of the configured world.
 
@@ -115,7 +116,13 @@ def render_pair_dataset(ecfg, n_frames: int, low_w: int, low_h: int,
         InputState(move_z=1.0, mouse_dy=1.0),
         InputState(move_z=-1.0, mouse_dx=2.0),
     ]
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(path_seed)
+    if path_seed:
+        # held-out paths start on their own heading too (the first
+        # segment otherwise always flies the spawn heading)
+        for ch in (lo.character, hi.character):
+            ch.yaw = float(rng.uniform(-3.14, 3.14))
+            ch.pitch = float(rng.uniform(-3.9, -3.3))
     zero_hist = jnp.zeros((low_h * up_model.SCALE, low_w * up_model.SCALE,
                            3), _F32)
     history = zero_hist
@@ -210,13 +217,21 @@ def psnr(a, b) -> float:
 
 
 def evaluate(net, params, samples, closed_loop: bool = True) -> dict:
-    """PSNR of the net vs plain bilinear upsampling on held-out pairs.
+    """PSNR + temporal stability of the net vs plain bilinear upsampling.
 
     ``closed_loop`` treats ``samples`` as one ordered segment and rolls the
     net's own output as history starting from zeros - the inference
-    regime; otherwise each sample's stored history is used as-is."""
+    regime; otherwise each sample's stored history is used as-is.
+
+    Temporal stability: mean |out_t - warp(out_{t-1}, motion_t)| over the
+    segment (reprojected frame-to-frame residual - flicker), reported as a
+    RATIO to the same residual of the ground-truth sequence.  1.0 = the
+    output changes exactly as much as the true signal under camera motion;
+    > 1 = added shimmer, < 1 = over-smoothed/ghosting."""
     net_psnrs, bil_psnrs = [], []
+    net_flick, gt_flick = [], []
     hist = jnp.zeros_like(samples[0].history)
+    prev_out = prev_gt = None
     for s in samples:
         if closed_loop:
             s = s._replace(history=hist)
@@ -227,8 +242,18 @@ def evaluate(net, params, samples, closed_loop: bool = True) -> dict:
         bil = jax.image.resize(s.color, s.target.shape, "bilinear")
         net_psnrs.append(psnr(out, s.target))
         bil_psnrs.append(psnr(bil, s.target))
-    return {"psnr_net": sum(net_psnrs) / len(net_psnrs),
-            "psnr_bilinear": sum(bil_psnrs) / len(bil_psnrs)}
+        if prev_out is not None:
+            w_out = up_model.warp_history(prev_out, s.motion)
+            w_gt = up_model.warp_history(prev_gt, s.motion)
+            net_flick.append(float(jnp.mean(jnp.abs(out - w_out))))
+            gt_flick.append(float(jnp.mean(jnp.abs(s.target - w_gt))))
+        prev_out, prev_gt = out, s.target
+    res = {"psnr_net": sum(net_psnrs) / len(net_psnrs),
+           "psnr_bilinear": sum(bil_psnrs) / len(bil_psnrs)}
+    if net_flick:
+        gt = max(sum(gt_flick) / len(gt_flick), 1e-6)
+        res["temporal_ratio"] = (sum(net_flick) / len(net_flick)) / gt
+    return res
 
 
 def main():
@@ -242,12 +267,20 @@ def main():
     p.add_argument("--low-w", type=int, default=128)
     p.add_argument("--low-h", type=int, default=96)
     p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--gi", action="store_true",
+                   help="render training pairs with cone-traced GI on "
+                        "(the stage-3/5 shading the net must serve)")
+    p.add_argument("--eval-w", type=int, default=0,
+                   help="held-out eval at a different low-res width "
+                        "(e.g. 1280 = the stage-5 operating point; the "
+                        "net is fully convolutional)")
+    p.add_argument("--eval-h", type=int, default=0)
+    p.add_argument("--eval-frames", type=int, default=24)
+    p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--variant", default="up-m",
                    help="model family member (models/upscaler.py)")
     p.add_argument("--out", default="checkpoints/upscaler.pkl")
     args = p.parse_args()
-
-    import dataclasses
 
     from rvgrt_tpu.config import EngineConfig, RenderConfig, WorldConfig
 
@@ -255,7 +288,7 @@ def main():
                         render=RenderConfig())
     t0 = time.time()
     data = list(render_pair_dataset(ecfg, args.frames, args.low_w,
-                                    args.low_h))
+                                    args.low_h, include_gi=args.gi))
     print(f"rendered {len(data)} pairs in {time.time() - t0:.0f}s",
           flush=True)
 
@@ -263,11 +296,22 @@ def main():
 
     net, params = up_family.init(args.variant, jax.random.PRNGKey(0),
                                  args.low_h, args.low_w)
-    opt = make_optimizer(1e-3, decay_steps=args.steps)
+    opt = make_optimizer(args.lr, decay_steps=args.steps)
     opt_state = opt.init(params)
     seg = 12
     segments = [data[i:i + seg] for i in range(0, len(data), seg)]
-    train_segs, eval_segs = segments[:-2], segments[-2:]
+    if args.eval_w:
+        # held-out frames at the operating point, on a DIFFERENT camera
+        # path (path_seed) - held out in both content and resolution;
+        # every training segment then stays in the train split
+        train_segs = segments
+        eval_data = list(render_pair_dataset(
+            ecfg, args.eval_frames, args.eval_w, args.eval_h,
+            include_gi=args.gi, segment_len=seg, path_seed=101))
+        eval_segs = [eval_data[i:i + seg]
+                     for i in range(0, len(eval_data), seg)]
+    else:
+        train_segs, eval_segs = segments[:-2], segments[-2:]
     t0 = time.time()
     import numpy as np
 
