@@ -57,7 +57,13 @@ def main():
     height = int(os.environ.get("BENCH_H", "800"))
     n_frames = int(os.environ.get("BENCH_FRAMES", "16"))
     include_gi = os.environ.get("BENCH_GI", "1") == "1"
-    upscale = os.environ.get("BENCH_UPSCALE", "1") == "1"
+    # BENCH_UPSCALE: "temporal" (default) = analytic temporal
+    # super-resolution accumulator; "net" / "1" = learned checkpoint;
+    # "0" = native resolution, no upscale
+    up_mode = os.environ.get("BENCH_UPSCALE", "temporal")
+    if up_mode == "1":
+        up_mode = "net"
+    upscale = up_mode != "0"
     config4 = os.environ.get("BENCH_CONFIG4", "1") == "1"
 
     dev = jax.devices()[0]
@@ -123,7 +129,7 @@ def main():
                       up=(up / np.linalg.norm(up)).astype(np.float32))
 
     up_net = up_params = None
-    if upscale:
+    if upscale and up_mode == "net":
         from rvgrt_tpu.upscale import model as up_model
 
         ckpt = os.path.join(os.path.dirname(__file__),
@@ -134,6 +140,10 @@ def main():
         else:
             up_net, up_params = up_model.init_params(
                 jax.random.PRNGKey(0), height, width)
+    elif upscale:
+        from rvgrt_tpu.upscale import temporal as up_temporal
+
+        log("upscaler: temporal super-resolution accumulator")
 
     def build_ops(ec):
         """(base, post, gi_step) jits for one operating point."""
@@ -144,15 +154,20 @@ def main():
                                          return_gbuffer=include_gi)
 
         def _post(out, gb, g, s, cam, hist):
+            """-> (frame outputs, next upscaler state)."""
             if include_gi:
                 out = out._replace(color=pipeline.gi_composite(
                     out.color, gb, g, s, ec))
             if upscale and ec.render.width == width:
-                hi, _ = up_model.upscale(up_net, up_params, out.color,
-                                         out.motion, out.depth, cam.jitter,
-                                         hist)
-                return out._replace(color=hi)
-            return out
+                if up_mode == "net":
+                    hi, _ = up_model.upscale(up_net, up_params, out.color,
+                                             out.motion, out.depth,
+                                             cam.jitter, hist)
+                    return out._replace(color=hi), hi
+                hi, nstate = up_temporal.temporal_upscale(
+                    out.color, out.motion, out.depth, cam.jitter, hist)
+                return out._replace(color=hi), nstate
+            return out, hist
 
         def _gi(g, b, s, a, fr, off, sky, tbl):
             return gi_update.update_gi(g, b, s, a, ec, fr, off,
@@ -164,13 +179,28 @@ def main():
         """Measure one operating point; returns (fps, stats dict)."""
         base_j, post_j, gi_j = build_ops(ec)
         from rvgrt_tpu.upscale import model as up_model_l
-        hist0 = (jnp.zeros((ec.render.height * up_model_l.SCALE,
-                            ec.render.width * up_model_l.SCALE, 3),
-                           jnp.float32)
-                 if upscale and ec.render.width == width
-                 else jnp.zeros((1, 1, 3), jnp.float32))
+        if upscale and ec.render.width == width:
+            if up_mode == "net":
+                hist0 = jnp.zeros((ec.render.height * up_model_l.SCALE,
+                                   ec.render.width * up_model_l.SCALE, 3),
+                                  jnp.float32)
+            else:
+                hist0 = up_temporal.init_state(ec.render.height,
+                                               ec.render.width)
+        else:
+            hist0 = jnp.zeros((1, 1, 3), jnp.float32)
 
-        cams = [eng_mod.camera_arrays(pan_cam(i), jitter=(0.0, 0.0))
+        # the real 8-phase jitter sequence (Character.update semantics):
+        # cost-identical to zero jitter (a traced scalar), but the
+        # upscalers see the true sub-pixel offsets
+        from rvgrt_tpu.scene.camera import JITTER_SEQUENCE
+
+        def jit_ndc(i):
+            jx, jy = JITTER_SEQUENCE[i % 8] * 0.5
+            return (float(jx) * 2.0 / ec.render.width,
+                    float(jy) * 2.0 / ec.render.height)
+
+        cams = [eng_mod.camera_arrays(pan_cam(i), jitter=jit_ndc(i))
                 for i in range(frames + 2)]
 
         def frame(cam, gi, offset, hist, acc):
@@ -181,9 +211,7 @@ def main():
             r = base_j(world.bits, world.sdf, gi, world.atlas, cam,
                        world.sky_y, world.trace_table)
             out, gb = r if include_gi else (r, None)
-            out = post_j(out, gb, gi, world.sdf, cam, hist)
-            nhist = out.color if upscale and ec.render.width == width \
-                else hist
+            out, nhist = post_j(out, gb, gi, world.sdf, cam, hist)
             # tiny reduction chains every frame into one final readback
             acc = acc + jnp.sum(out.depth)
             return out, gi, nhist, acc

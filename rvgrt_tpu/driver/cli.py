@@ -115,9 +115,10 @@ def main(argv=None):
     p.add_argument("--fly", action="store_true",
                    help="move forward + turn during the path")
     p.add_argument("--upscale", default=None, metavar="PARAMS",
-                   help="run the learned 3x upscaler in the loop "
-                        "(path to trained params, or 'fresh' for "
-                        "randomly-initialized weights)")
+                   help="run the 3x upscaler in the loop: path to trained "
+                        "params, 'fresh' for randomly-initialized weights, "
+                        "or 'temporal' for the analytic temporal "
+                        "super-resolution accumulator (upscale/temporal.py)")
     args = p.parse_args(argv)
 
     ecfg = tiny_config() if args.config == "tiny" else CONFIGS[args.config]()
@@ -137,7 +138,13 @@ def main(argv=None):
     hit_frac = jax.jit(lambda d: (d < 1).mean())
 
     up_step = history = None
-    if args.upscale:
+    if args.upscale == "temporal":
+        from rvgrt_tpu.upscale import model as up_model
+        from rvgrt_tpu.upscale import temporal
+
+        t_state = temporal.init_state(ecfg.render.height, ecfg.render.width)
+        t_up = jax.jit(temporal.temporal_upscale)
+    elif args.upscale:
         from rvgrt_tpu.upscale import model as up_model
 
         if args.upscale == "fresh":
@@ -160,7 +167,12 @@ def main(argv=None):
         inputs = InputState(move_z=1.0 if args.fly else 0.0,
                             mouse_dx=2.0 if args.fly else 0.0)
         out = eng.step(inputs)
-        if up_step is not None:
+        if args.upscale == "temporal":
+            jitter = jnp.asarray(eng.character.ray_jitter_ndc(), jnp.float32)
+            hi, t_state = t_up(out.color, out.motion, out.depth, jitter,
+                               t_state)
+            img = np.asarray(to_u8(hi))
+        elif up_step is not None:
             jitter = jnp.asarray(eng.character.ray_jitter_ndc(), jnp.float32)
             history = up_step(params, out.color, out.motion, out.depth,
                               jitter, history)

@@ -199,3 +199,27 @@ class Engine:
         self.frame_count += 1
         self.gi_offset = gi_update.advance_offset(self.gi_offset, self.ecfg)
         return out
+
+    def render_at(self, jitter_ndc=(0.0, 0.0),
+                  time_s: float = 0.0) -> pipeline.FrameOutputs:
+        """Re-render the CURRENT pose with a jitter override, advancing
+        nothing (no GI update, no frame count).  Lets callers build
+        supersampled (SSAA) reference frames - average several jittered
+        renders of one pose - the ground truth an upscaler should be
+        judged against (a single point-sampled render is itself aliased).
+        A fixed ``time_s`` keeps water animation identical across samples.
+        """
+        ch = self.character
+        cam = camera_arrays(
+            ch.camera, vp=ch.unjittered_view_projection,
+            prev_vp=ch.prev_unjittered_view_projection,
+            jitter=jitter_ndc, time_s=time_s)
+        w = self.world
+        out, gb = base_frame_step(w.bits, w.sdf, w.gi, w.atlas, cam,
+                                  self.ecfg, sky_y=w.sky_y,
+                                  table=w.trace_table)
+        if self.include_gi:
+            color = gi_composite_step(out.color, gb, w.gi, w.sdf, self.ecfg,
+                                      gi_occ=w.gi_occ)
+            out = out._replace(color=color)
+        return out

@@ -1,0 +1,251 @@
+"""Temporal super-resolution accumulator: the analytic DLSS mechanism.
+
+The reference's DLSS call (``main.cpp:178-191``) is, at its core, jittered
+temporal supersampling: each frame the camera samples the scene at a known
+sub-pixel offset (the 8-phase sequence, ``Character.cpp:9-15``), and an
+accumulator integrates those samples into a higher-resolution history,
+rejecting stale history with motion-vector reprojection + neighborhood
+rectification.  This module implements that mechanism directly (no learned
+weights) as the quality/perf baseline the learned net (``model.py``) must
+beat - and as a production upscaler in its own right.
+
+TPU shape of the algorithm (everything is dense VPU work + ONE gather):
+
+* the renderer's low-res pixel ``i`` samples NDC ``i/w*2-1 + jitter``
+  (``pipeline._ray_dirs``), so it lands at display coordinate
+  ``SCALE*(i + j_px)`` with ``j_px = jitter_ndc * w/2`` - a UNIFORM offset
+  per frame.  Jitter-aware 3x upsampling is therefore a per-phase
+  separable convolution (9 fixed blends of shifted images), not a gather.
+* history + per-pixel confidence are packed RGBN into one uint32/display
+  pixel, so reprojection is a single 4-tap gather (the packed-warp trick
+  from ``model.warp_history``; gathers cost ~7.5 ns/element on v5e).
+* rectification = clamp to the 3x3 low-res neighborhood min/max
+  (shift/min/max at low res, nearest-upsampled).
+* blending is a running average: confidence ``n`` counts effective
+  accumulated samples; the current frame enters with a weight peaked where
+  its jittered sample actually landed (sub-pixel locality - this is what
+  recovers real detail instead of averaging blur).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rvgrt_tpu.upscale import model as up_model
+
+_F32 = jnp.float32
+SCALE = up_model.SCALE
+
+
+class TemporalState(NamedTuple):
+    """Carried across frames; reset to zeros on camera cuts."""
+    history: jnp.ndarray  # (SCALE*h, SCALE*w, 3) f32 in [0, 1]
+    conf: jnp.ndarray     # (SCALE*h, SCALE*w) f32 effective sample count
+
+
+def init_state(height: int, width: int) -> TemporalState:
+    """Zero state for a ``height x width`` LOW-res stream."""
+    return TemporalState(
+        history=jnp.zeros((height * SCALE, width * SCALE, 3), _F32),
+        conf=jnp.zeros((height * SCALE, width * SCALE), _F32))
+
+
+def _shift_cf(img_cf: jnp.ndarray, m: int, axis: int) -> jnp.ndarray:
+    """Edge-padded integer shift: out[..i..] = img[..i+m..] (clamped)."""
+    if m == 0:
+        return img_cf
+    n = img_cf.shape[axis]
+    pad = [(0, 0)] * img_cf.ndim
+    pad[axis] = (0, m) if m > 0 else (-m, 0)
+    padded = jnp.pad(img_cf, pad, mode="edge")
+    start = m if m > 0 else 0
+    return jax.lax.slice_in_dim(padded, start, start + n, axis=axis)
+
+
+def _phase_filter_axis(img_cf: jnp.ndarray, j_px: jnp.ndarray, axis: int):
+    """Per-phase jitter-compensating linear resample along one axis.
+
+    Display position ``SCALE*i + p`` reads the low-res signal at
+    ``i + p/SCALE - j_px``; with ``o_p = p/SCALE - j_px`` in (-1, 2) the
+    linear interpolation is ``sum_m hat(o_p - m) * img[i + m]`` over the
+    static shifts m in {-1, 0, 1, 2} - branch-free in the traced ``j_px``.
+    Returns SCALE arrays shaped like ``img_cf``.
+    """
+    shifted = [_shift_cf(img_cf, m, axis) for m in (-1, 0, 1, 2)]
+    outs = []
+    for p in range(SCALE):
+        o = _F32(p) / _F32(SCALE) - j_px
+        acc = None
+        for m, sh in zip((-1, 0, 1, 2), shifted):
+            w = jnp.clip(1.0 - jnp.abs(o - _F32(m)), 0.0, 1.0)
+            term = w * sh
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    return outs
+
+
+def jitter_upsample(color: jnp.ndarray, jitter_ndc: jnp.ndarray):
+    """(h, w, 3) low-res + its NDC jitter -> (3, SCALE*h, SCALE*w)
+    channel-first display-res image, resampled so the KNOWN sub-pixel
+    sample positions line up with the unjittered display grid."""
+    h, w = color.shape[0], color.shape[1]
+    jx = jitter_ndc[0] * _F32(0.5 * w)   # low-res px
+    jy = jitter_ndc[1] * _F32(0.5 * h)
+    cf = color.transpose(2, 0, 1)  # (3, h, w)
+    # x axis: SCALE phase images (3, h, w) -> interleave -> (3, h, SCALE*w)
+    xs = _phase_filter_axis(cf, jx, axis=2)
+    row = up_model._interleave_last(xs, SCALE)
+    # y axis on the transposed image
+    rowT = row.transpose(0, 2, 1)  # (3, SCALE*w, h)
+    ys = _phase_filter_axis(rowT, jy, axis=2)
+    colT = up_model._interleave_last(ys, SCALE)  # (3, SCALE*w, SCALE*h)
+    return colT.transpose(0, 2, 1)
+
+
+def _neighborhood_box(color: jnp.ndarray, gamma: float):
+    """Variance-clipping rectification box: mean +- gamma*std over the 3x3
+    low-res neighborhood, nearest-upsampled to display res, channel-first
+    (3, SCALE*h, SCALE*w).  Variance clipping decays stale history (ghosts)
+    geometrically where a min/max box lets mid-range ghosts persist, while
+    still admitting sub-pixel detail within the local contrast."""
+    cf = color.transpose(2, 0, 1)
+    s = jnp.zeros_like(cf)
+    s2 = jnp.zeros_like(cf)
+    for dy in (-1, 0, 1):
+        sy = _shift_cf(cf, dy, axis=1)
+        for dx in (-1, 0, 1):
+            v = _shift_cf(sy, dx, axis=2) if dx else sy
+            s = s + v
+            s2 = s2 + v * v
+    mu = s * _F32(1.0 / 9.0)
+    sd = jnp.sqrt(jnp.maximum(s2 * _F32(1.0 / 9.0) - mu * mu, 0.0))
+    mn = mu - _F32(gamma) * sd
+    mx = mu + _F32(gamma) * sd
+    def up(a):
+        a = jnp.repeat(a, SCALE, axis=2)            # (3, h, SCALE*w)
+        a = jnp.repeat(a.transpose(0, 2, 1), SCALE, axis=2)
+        return a.transpose(0, 2, 1)                 # (3, SCALE*h, SCALE*w)
+    return up(mn), up(mx)
+
+
+_CONF_MAX = 12.0
+
+
+def _pack_rgbn(history: jnp.ndarray, conf: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) rgb + (H, W) count -> (H, W) uint32 r|g<<8|b<<16|n<<24."""
+    q = jnp.clip(jnp.round(history * 255.0), 0.0, 255.0).astype(jnp.uint32)
+    nq = jnp.clip(jnp.round(conf * (255.0 / _CONF_MAX)), 0.0,
+                  255.0).astype(jnp.uint32)
+    return q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16) | (nq << 24)
+
+
+def _unpack_rgbn_cf(word: jnp.ndarray):
+    """(H, W) uint32 -> ((3, H, W) rgb f32, (H, W) count f32)."""
+    f = _F32(1.0 / 255.0)
+    rgb = jnp.stack([(word & 0xFF).astype(_F32) * f,
+                     ((word >> 8) & 0xFF).astype(_F32) * f,
+                     ((word >> 16) & 0xFF).astype(_F32) * f], axis=0)
+    n = ((word >> 24) & 0xFF).astype(_F32) * _F32(_CONF_MAX / 255.0)
+    return rgb, n
+
+
+def _warp_state(state: TemporalState, motion_lowres: jnp.ndarray):
+    """Reproject history + confidence with ONE packed 4-tap gather.
+
+    Same coordinate convention as ``model.warp_history`` (motion = NDC
+    delta current-previous, y negated, ``StateRender.cu:241,251``);
+    off-screen source coordinates zero the confidence (disocclusion from
+    screen edges contributes no history)."""
+    hh, hw = state.history.shape[0], state.history.shape[1]
+    mvx = jax.image.resize(motion_lowres[..., 0], (hh, hw), "nearest")
+    mvy = jax.image.resize(motion_lowres[..., 1], (hh, hw), "nearest")
+    xs = jnp.arange(hw, dtype=_F32)[None, :] - mvx * _F32(0.5 * hw)
+    ys = jnp.arange(hh, dtype=_F32)[:, None] - mvy * _F32(0.5 * hh)
+    xs = jnp.broadcast_to(xs, (hh, hw))
+    ys = jnp.broadcast_to(ys, (hh, hw))
+    inside = ((xs >= 0.0) & (xs <= hw - 1.0)
+              & (ys >= 0.0) & (ys <= hh - 1.0)).astype(_F32)
+    packed = _pack_rgbn(state.history, state.conf)
+    x = jnp.clip(xs, 0.0, hw - 1.0)
+    y = jnp.clip(ys, 0.0, hh - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, hw - 1)
+    y1 = jnp.minimum(y0 + 1, hh - 1)
+    fx = (x - x0)
+    fy = (y - y0)
+    rgb = jnp.zeros((3, hh, hw), _F32)
+    n = jnp.zeros((hh, hw), _F32)
+    for (yi, xi, wgt) in ((y0, x0, (1 - fx) * (1 - fy)),
+                          (y0, x1, fx * (1 - fy)),
+                          (y1, x0, (1 - fx) * fy),
+                          (y1, x1, fx * fy)):
+        r, c = _unpack_rgbn_cf(packed[yi, xi])
+        rgb = rgb + wgt[None] * r
+        n = n + wgt * c
+    return rgb, n * inside
+
+
+def _current_weight(jitter_ndc: jnp.ndarray, height: int, width: int,
+                    sigma: float, w_min: float):
+    """Per-display-pixel weight of the CURRENT frame's sample: peaked at
+    the display pixels the jittered low-res sample actually landed on.
+
+    The sample lattice sits at display coords ``SCALE*(i + j_px)``; for a
+    display pixel with phase p the nearest-sample distance along an axis
+    is ``min_m |SCALE*j_px + SCALE*m - p|`` - a per-phase scalar, so the
+    weight map is a (SCALE,) x (SCALE,) outer pattern tiled over the
+    image."""
+    def axis_d(j_px):
+        s = _F32(SCALE) * j_px
+        p = jnp.arange(SCALE, dtype=_F32)
+        cands = jnp.stack([jnp.abs(s - p + _F32(SCALE) * m)
+                           for m in (-1, 0, 1)])
+        return jnp.min(cands, axis=0)  # (SCALE,)
+
+    dx = axis_d(jitter_ndc[0] * _F32(0.5 * width))
+    dy = axis_d(jitter_ndc[1] * _F32(0.5 * height))
+    d2 = dy[:, None] ** 2 + dx[None, :] ** 2          # (SCALE, SCALE)
+    w = jnp.exp(-d2 / _F32(2.0 * sigma * sigma))
+    w = _F32(w_min) + _F32(1.0 - w_min) * w
+    wx = jnp.tile(w, (1, width))[:, :SCALE * width]    # (SCALE, SCALE*w)
+    full = jnp.tile(wx, (height, 1))[:SCALE * height]  # (SCALE*h, SCALE*w)
+    return full
+
+
+def temporal_upscale(color: jnp.ndarray, motion: jnp.ndarray,
+                     depth: jnp.ndarray, jitter_ndc: jnp.ndarray,
+                     state: TemporalState, *,
+                     sigma: float = 0.9, w_min: float = 0.08,
+                     gamma: float = 1.0, clamp_beta: float = 16.0,
+                     clamp_eps: float = 0.01):
+    """One frame of temporal 3x super-resolution.
+
+    Returns ``(out, new_state)`` with ``out`` (SCALE*h, SCALE*w, 3).  The
+    same input contract as the learned net (``model.upscale``); ``depth``
+    is accepted for contract parity (motion already encodes reprojection;
+    depth-based disocclusion tests are future work).
+    """
+    del depth
+    h, w = color.shape[0], color.shape[1]
+
+    cur = jitter_upsample(color, jitter_ndc)            # (3, H, W)
+    hist, n_prev = _warp_state(state, motion)           # (3, H, W), (H, W)
+
+    mn, mx = _neighborhood_box(color, gamma)
+    clamped = jnp.clip(hist, mn - _F32(clamp_eps), mx + _F32(clamp_eps))
+    # history that needed clamping is stale (disocclusion/lighting change):
+    # scale its effective sample count down smoothly
+    clamp_dist = jnp.mean(jnp.abs(hist - clamped), axis=0)
+    n_w = n_prev * jnp.exp(-clamp_dist * _F32(clamp_beta))
+
+    w_cur = _current_weight(jitter_ndc, h, w, sigma, w_min)
+    den = n_w + w_cur
+    out_cf = (n_w[None] * clamped + w_cur[None] * cur) / den[None]
+    out_cf = jnp.clip(out_cf, 0.0, 1.0)
+    n_new = jnp.minimum(den, _F32(_CONF_MAX))
+    out = out_cf.transpose(1, 2, 0)
+    return out, TemporalState(history=out, conf=n_new)

@@ -74,7 +74,9 @@ def make_optimizer(lr: float = 1e-3, decay_steps: int | None = None):
 def render_pair_dataset(ecfg, n_frames: int, low_w: int, low_h: int,
                         include_gi: bool = False,
                         segment_len: int = 12,
-                        path_seed: int = 0) -> Iterator[Sample]:
+                        path_seed: int = 0,
+                        static: bool = False,
+                        ssaa: int = 0) -> Iterator[Sample]:
     """Render (low-res inputs, 3x high-res target) pairs along a
     deterministic flythrough of the configured world.
 
@@ -116,13 +118,19 @@ def render_pair_dataset(ecfg, n_frames: int, low_w: int, low_h: int,
         InputState(move_z=1.0, mouse_dy=1.0),
         InputState(move_z=-1.0, mouse_dx=2.0),
     ]
+    if static:
+        moves = [InputState()]  # hold still: isolates jitter accumulation
     rng = np.random.default_rng(path_seed)
     if path_seed:
         # held-out paths start on their own heading too (the first
-        # segment otherwise always flies the spawn heading)
+        # segment otherwise always flies the spawn heading); ONE draw,
+        # assigned to both cameras - drawing per character desyncs the
+        # low-res input from its target view
+        yaw0 = float(rng.uniform(-3.14, 3.14))
+        pitch0 = float(rng.uniform(-3.9, -3.3))
         for ch in (lo.character, hi.character):
-            ch.yaw = float(rng.uniform(-3.14, 3.14))
-            ch.pitch = float(rng.uniform(-3.9, -3.3))
+            ch.yaw = yaw0
+            ch.pitch = pitch0
     zero_hist = jnp.zeros((low_h * up_model.SCALE, low_w * up_model.SCALE,
                            3), _F32)
     history = zero_hist
@@ -141,11 +149,30 @@ def render_pair_dataset(ecfg, n_frames: int, low_w: int, low_h: int,
         inputs = moves[(i // max(segment_len, 1)) % len(moves)]
         out_lo = lo.step(inputs, 1 / 60)
         out_hi = hi.step(inputs, 1 / 60)
+        target = out_hi.color
+        if ssaa > 0:
+            # supersampled reference: mean of `ssaa` jittered renders of
+            # the SAME pose.  A single point-sampled render is itself
+            # aliased (point-sampled textures, hard shadows); judging an
+            # upscaler against it punishes correctly anti-aliased output.
+            from rvgrt_tpu.scene.camera import JITTER_SEQUENCE
+
+            import time as _time
+
+            hw_, hh_ = hi.ecfg.render.width, hi.ecfg.render.height
+            t_s = (_time.time() - hi.start_time) % 1e6
+            acc = None
+            for s in range(ssaa):
+                jx, jy = JITTER_SEQUENCE[s % 8] * 0.5
+                j = (float(jx) * 2.0 / hw_, float(jy) * 2.0 / hh_)
+                c = hi.render_at(jitter_ndc=j, time_s=t_s).color
+                acc = c if acc is None else acc + c
+            target = acc / _F32(ssaa)
         jit = jnp.asarray(lo.character.ray_jitter_ndc(), _F32)
         yield Sample(color=out_lo.color, motion=out_lo.motion,
                      depth=out_lo.depth, jitter=jit, history=history,
-                     target=out_hi.color)
-        history = out_hi.color
+                     target=target)
+        history = target
 
 
 def train_closed_loop(net, params, opt, opt_state, segments, steps: int,
