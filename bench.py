@@ -203,10 +203,22 @@ def main():
         cams = [eng_mod.camera_arrays(pan_cam(i), jitter=jit_ndc(i))
                 for i in range(frames + 2)]
 
+        # pre-stage every per-frame host scalar on device: a fresh
+        # jnp.uint32/int32 per frame is a host->device transfer through
+        # the tunnel INSIDE the timed loop (dispatch is async, transfers
+        # are not)
+        off_seq = []
+        o = 0
+        for _ in range(frames + 2):
+            off_seq.append(o)
+            o = gi_update.advance_offset(o, ec)
+        off_dev = {v: jax.device_put(jnp.int32(v)) for v in set(off_seq)}
+        fr0 = jax.device_put(jnp.uint32(0))
+
         def frame(cam, gi, offset, hist, acc):
             if include_gi:
                 gi = gi_j(gi, world.bits, world.sdf, world.atlas,
-                          jnp.uint32(0), jnp.int32(offset),
+                          fr0, off_dev[offset],
                           world.sky_y, world.trace_table)
             r = base_j(world.bits, world.sdf, gi, world.atlas, cam,
                        world.sky_y, world.trace_table)

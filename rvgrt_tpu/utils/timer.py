@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import sys
 import time
 from collections import deque
 
@@ -22,7 +23,10 @@ class Timer:
     def __exit__(self, *exc):
         self.elapsed_ms = (time.perf_counter() - self.t0) * 1e3
         if self.verbose:
-            print(f"{self.name} took {self.elapsed_ms:.1f} ms")
+            # stderr: diagnostics must not pollute stdout protocols
+            # (bench.py's one-JSON-line contract)
+            print(f"{self.name} took {self.elapsed_ms:.1f} ms",
+                  file=sys.stderr, flush=True)
         return False
 
 
