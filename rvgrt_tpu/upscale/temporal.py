@@ -152,7 +152,8 @@ def _unpack_rgbn_cf(word: jnp.ndarray):
     return rgb, n
 
 
-def _warp_state(state: TemporalState, motion_lowres: jnp.ndarray):
+def _warp_state(state: TemporalState, motion_lowres: jnp.ndarray,
+                taps: str = "bilinear"):
     """Reproject history + confidence with ONE packed 4-tap gather.
 
     Same coordinate convention as ``model.warp_history`` (motion = NDC
@@ -168,9 +169,22 @@ def _warp_state(state: TemporalState, motion_lowres: jnp.ndarray):
     ys = jnp.broadcast_to(ys, (hh, hw))
     inside = ((xs >= 0.0) & (xs <= hw - 1.0)
               & (ys >= 0.0) & (ys <= hh - 1.0)).astype(_F32)
+    # motion-adaptive decay: every warp both resamples (a ~0.25 px blur)
+    # and inherits motion-vector error, which COMPOUND over frames; decay
+    # confidence with the local motion magnitude so accumulation is deep
+    # when still and leans on the current frame when moving
+    mpx = jnp.sqrt((mvx * _F32(0.5 * hw)) ** 2
+                   + (mvy * _F32(0.5 * hh)) ** 2)
+    inside = inside * jnp.exp(-mpx * _F32(0.35))
     packed = _pack_rgbn(state.history, state.conf)
     x = jnp.clip(xs, 0.0, hw - 1.0)
     y = jnp.clip(ys, 0.0, hh - 1.0)
+    if taps == "nearest":
+        # 1 gather instead of 4 (~456 -> ~130 ms at 3840x2400): a <=0.5 px
+        # resample shift per frame, for perf-first operating points
+        rgb, n = _unpack_rgbn_cf(packed[jnp.round(y).astype(jnp.int32),
+                                        jnp.round(x).astype(jnp.int32)])
+        return rgb, n * inside
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     x1 = jnp.minimum(x0 + 1, hw - 1)
@@ -221,7 +235,7 @@ def temporal_upscale(color: jnp.ndarray, motion: jnp.ndarray,
                      state: TemporalState, *,
                      sigma: float = 0.9, w_min: float = 0.08,
                      gamma: float = 1.0, clamp_beta: float = 16.0,
-                     clamp_eps: float = 0.01):
+                     clamp_eps: float = 0.01, warp_taps: str = "bilinear"):
     """One frame of temporal 3x super-resolution.
 
     Returns ``(out, new_state)`` with ``out`` (SCALE*h, SCALE*w, 3).  The
@@ -233,7 +247,7 @@ def temporal_upscale(color: jnp.ndarray, motion: jnp.ndarray,
     h, w = color.shape[0], color.shape[1]
 
     cur = jitter_upsample(color, jitter_ndc)            # (3, H, W)
-    hist, n_prev = _warp_state(state, motion)           # (3, H, W), (H, W)
+    hist, n_prev = _warp_state(state, motion, taps=warp_taps)
 
     mn, mx = _neighborhood_box(color, gamma)
     clamped = jnp.clip(hist, mn - _F32(clamp_eps), mx + _F32(clamp_eps))
