@@ -185,6 +185,29 @@ def _warp_state(state: TemporalState, motion_lowres: jnp.ndarray,
         rgb, n = _unpack_rgbn_cf(packed[jnp.round(y).astype(jnp.int32),
                                         jnp.round(x).astype(jnp.int32)])
         return rgb, n * inside
+    if taps == "bilinear_shift":
+        # bilinear quality at 1-gather cost: gather the floor tap, then
+        # take the +1 neighbor taps as OUTPUT-space shifts of the gathered
+        # image.  Where the motion field is locally constant (everywhere
+        # except depth/object silhouettes), floor(x+1 - mx) ==
+        # floor(x - mx) + 1, so shift_x(gathered)[y, x] IS the true
+        # (y0, x0+1) source tap - bit-equal to 4-tap bilinear.  At motion
+        # discontinuities the taps come from the wrong side of the edge;
+        # the variance clamp + motion-adaptive confidence decay already
+        # bound that error (same machinery that bounds MV error itself).
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx = (x - x0)[None]
+        fy = (y - y0)[None]
+        g = packed[y0, x0]
+        rgb00, n00 = _unpack_rgbn_cf(g)
+        v00 = jnp.concatenate([rgb00, n00[None]], axis=0)  # (4, H, W)
+        v01 = _shift_cf(v00, 1, axis=2)
+        v10 = _shift_cf(v00, 1, axis=1)
+        v11 = _shift_cf(v01, 1, axis=1)
+        v = ((1 - fx) * (1 - fy) * v00 + fx * (1 - fy) * v01
+             + (1 - fx) * fy * v10 + fx * fy * v11)
+        return v[:3], v[3] * inside
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     x1 = jnp.minimum(x0 + 1, hw - 1)

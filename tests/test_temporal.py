@@ -140,6 +140,30 @@ def test_cut_ghosts_decay():
     assert db[-1] < db[0] * 0.85, db
 
 
+def test_bilinear_shift_warp_matches_bilinear_under_constant_motion():
+    """The 1-gather bilinear_shift warp must equal the 4-tap bilinear warp
+    wherever the motion field is locally constant (its validity domain) -
+    here: everywhere except the edge-clamp border."""
+    h, w = 8, 10
+    hh, hw = h * SCALE, w * SCALE
+    rgb = jax.random.uniform(jax.random.PRNGKey(6), (hh, hw, 3), F32)
+    n = jax.random.uniform(jax.random.PRNGKey(7), (hh, hw), F32) * 10.0
+    state = temporal.TemporalState(history=rgb, conf=n)
+    # constant sub-pixel motion (NDC units; fractional in display px)
+    motion = jnp.broadcast_to(jnp.asarray([2.6 / (0.5 * hw),
+                                           -1.3 / (0.5 * hh)], F32),
+                              (h, w, 2))
+    ref_rgb, ref_n = temporal._warp_state(state, motion, taps="bilinear")
+    got_rgb, got_n = temporal._warp_state(state, motion,
+                                          taps="bilinear_shift")
+    sl = np.s_[4:-4, 4:-4]
+    np.testing.assert_allclose(np.asarray(got_rgb[:, 4:-4, 4:-4]),
+                               np.asarray(ref_rgb[:, 4:-4, 4:-4]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_n[sl]),
+                               np.asarray(ref_n[sl]), atol=1e-4)
+
+
 def test_packed_state_roundtrip():
     key = jax.random.PRNGKey(4)
     rgb = jax.random.uniform(key, (8, 10, 3), F32)
