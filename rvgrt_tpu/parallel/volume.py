@@ -146,10 +146,18 @@ def trace_ring(tbl: jax.Array, cfg: WorldConfig, rcfg: RenderConfig,
                jnp.zeros_like(ids0)]   # resumed (crossed a slab face)
     packed, _ = _pack(my0, fields0, cap, sentinel)
     # the scan carry becomes device-varying after the first ppermute;
-    # mark any still-replicated initial carry component varying to match
+    # mark any still-replicated initial carry component varying to match.
+    # Target = the ring axis PLUS every axis the ray inputs already vary
+    # over (on a 2-D ('slice','chip') mesh the rays vary over 'slice' —
+    # each slice traces its own row band — so cond/scan branches must
+    # agree on the full (slice, chip) vma, not just the ring axis).
+    _target_vma = {axis}
+    for _a in (ox, oy, oz, dx, dy, dz, t0):
+        _target_vma |= set(jax.typeof(_a).vma)
+
     def _vary(f):
-        return f if axis in jax.typeof(f).vma \
-            else jax.lax.pcast(f, (axis,), to="varying")
+        need = tuple(_target_vma - set(jax.typeof(f).vma))
+        return jax.lax.pcast(f, need, to="varying") if need else f
 
     packed = [_vary(f) for f in packed]
 
