@@ -175,6 +175,15 @@ class LightingConfig:
     ambient_strength: float = 0.05
     shadow_factor: float = 0.2  # dist-prepass shadow (StateRender.cu:282)
 
+    # SDF-marched soft shadows (BASELINE config-4 feature; an upgrade over
+    # the reference's hard 0.2/1.0 shadow trace, and cheaper: ~1 gather per
+    # march step vs the hybrid trace's full superstep machine).  Off by
+    # default - the reference's shadows are hard.
+    soft_shadows: bool = False
+    sun_softness: float = 8.0       # penumbra sharpness k in min(k*h/t)
+    soft_shadow_steps: int = 16     # fixed unrolled march length
+    soft_shadow_max_t: float = 192.0  # voxels; beyond -> lit
+
 
 @dataclass(frozen=True)
 class RenderConfig:

@@ -213,12 +213,19 @@ def half_res_prepass(bits, sdf, cfg, rcfg, lcfg, cam: CameraArrays,
                  + (res.pz - cam.pos[2]) ** 2)
     dist = jnp.where(res.hit, d, _F32(rcfg.miss_distance))
 
-    sun = vm.splat(lcfg.sun_dir, res.hit.shape)
-    shadow_hit = _shadow_trace(trace_fn, res.hit,
-                               (res.px, res.py, res.pz),
-                               (res.nx, res.ny, res.nz), sun, offset=1e-1)
-    shadow = jnp.where(res.hit & shadow_hit, _F32(lcfg.shadow_factor),
-                       _F32(1.0))
+    if lcfg.soft_shadows:
+        assert sdf is not None, "soft_shadows needs the raw SDF array"
+        shadow = shading.soft_shadow_march(
+            res.px, res.py, res.pz, res.nx, res.ny, res.nz, res.hit,
+            sdf, cfg, lcfg, sky_y=sky_y)
+    else:
+        sun = vm.splat(lcfg.sun_dir, res.hit.shape)
+        shadow_hit = _shadow_trace(trace_fn, res.hit,
+                                   (res.px, res.py, res.pz),
+                                   (res.nx, res.ny, res.nz), sun,
+                                   offset=1e-1)
+        shadow = jnp.where(res.hit & shadow_hit, _F32(lcfg.shadow_factor),
+                           _F32(1.0))
     return dist - _F32(rcfg.dist_bias), shadow
 
 
@@ -437,7 +444,8 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
     hrows = -(-hneed // t) * t
     half_dist, half_shadow = half_res_prepass(bits, sdf, cfg, rcfg, lcfg,
                                               cam, hy0=hy0, hrows=hrows,
-                                              trace_fn=trace_fn)
+                                              trace_fn=trace_fn,
+                                              sky_y=sky_y)
     half_dist = half_dist[:hneed]
     half_shadow = half_shadow[:hneed]
     start_dist = _min_dist_upsample_slab(half_dist, slab_h)

@@ -99,6 +99,62 @@ def trace_cone(px, py, pz, dx, dy, dz, gi, sdf, cfg: WorldConfig,
 
 # The 6 VCT cone directions in the normal's hemisphere
 # (StateRender.cu:104-115): up, 4 half-lerps to right/forward, 1 diagonal.
+def soft_shadow_march(px, py, pz, nx, ny, nz, hit, sdf,
+                      cfg: WorldConfig, lcfg: LightingConfig,
+                      sky_y=None, steps: int | None = None):
+    """SDF-marched penumbra shadow: factor in [shadow_factor, 1].
+
+    Sphere-trace the coarse SDF from the hit point toward the sun, keeping
+    the classic penumbra estimate ``min(k * h / t)`` (h = scene distance at
+    the sample, t = distance along the ray).  One u8 gather per step with a
+    fixed unrolled trip count - far cheaper than the exact hybrid shadow
+    trace (``_shadow_trace``), and an intentional upgrade over the
+    reference's hard 0.2/1.0 shadow (``StateRender.cu:282``): area-light
+    penumbras, config-gated via ``lcfg.soft_shadows``.
+
+    Start bias: the hit's own coarse cell is solid (h = 0 there), so the
+    march starts offset 1.25 cells along the face normal and 2 cells along
+    the sun; sphere-trace steps (``max(h, 1.5)``) can never skip a blocker
+    thicker than a coarse cell.
+    """
+    steps = lcfg.soft_shadow_steps if steps is None else steps
+    c = float(cfg.sdf_coarseness)
+    sx, sy, sz = (_F32(v) for v in lcfg.sun_dir)
+    k = _F32(lcfg.sun_softness)
+    max_t = _F32(lcfg.soft_shadow_max_t)
+
+    ox = px + nx * _F32(1.25 * c)
+    oy = py + ny * _F32(1.25 * c)
+    oz = pz + nz * _F32(1.25 * c)
+
+    zf = px * _F32(0.0)  # varying-typed zero (shard_map compatibility)
+    t = zf + _F32(2.0 * c)
+    res = zf + _F32(1.0)
+    done = jnp.zeros_like(hit) | ~hit
+
+    for _ in range(steps):
+        cx = ox + sx * t
+        cy = oy + sy * t
+        cz = oz + sz * t
+        if sky_y is not None:
+            # the sun rises (+y): a sample above the highest solid voxel
+            # can never be occluded again
+            done = done | (cy >= sky_y)
+        done = done | (t > max_t)
+        h = sdf_mod.sample_sdf_at_voxel(
+            sdf, cfg,
+            jnp.floor(cx).astype(jnp.int32),
+            jnp.floor(cy).astype(jnp.int32),
+            jnp.floor(cz).astype(jnp.int32)).astype(_F32) * _F32(c)
+        res = jnp.where(done, res, jnp.minimum(res, k * h / t))
+        done = done | (res <= _F32(0.01))
+        t = jnp.where(done, t, t + jnp.maximum(h, _F32(1.5)))
+
+    sf = _F32(lcfg.shadow_factor)
+    factor = sf + (_F32(1.0) - sf) * jnp.clip(res, 0.0, 1.0)
+    return jnp.where(hit, factor, _F32(1.0))
+
+
 def _normalize_safe(v, fallback=(1.0, 0.0, 0.0)):
     l = vm.length(v)
     ok = l > 1e-8
