@@ -347,8 +347,12 @@ def config_stage3() -> EngineConfig:
 
 
 def config_stage4() -> EngineConfig:
-    """1024^3 + VCT GI + reflections at 1080p."""
-    return config_stage3()
+    """1024^3 + VCT GI, soft shadows, reflections at 1080p
+    (BASELINE config 4 names soft shadows; SDF-penumbra march)."""
+    base = config_stage3()
+    return dataclasses.replace(
+        base, lighting=dataclasses.replace(base.lighting,
+                                           soft_shadows=True))
 
 
 def config_stage5() -> EngineConfig:

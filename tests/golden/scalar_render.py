@@ -94,6 +94,26 @@ def _shadow_hit(world, pos, normal, sun, offset):
     return st.trace(world, o, sun, 0.0).hit
 
 
+def _soft_shadow(world, lcfg, pos, normal, sun, sky_y):
+    """Scalar twin of shading.soft_shadow_march (same constants)."""
+    c = float(world.c)
+    o = tuple(F(pos[k] + normal[k] * 1.25 * c) for k in range(3))
+    t, rs = 2.0 * c, 1.0
+    for _ in range(lcfg.soft_shadow_steps):
+        p = tuple(F(o[k] + sun[k] * t) for k in range(3))
+        if p[1] >= sky_y or t > lcfg.soft_shadow_max_t:
+            break
+        h = float(world.sdf_at_voxel(int(math.floor(p[0])),
+                                     int(math.floor(p[1])),
+                                     int(math.floor(p[2])))) * c
+        rs = min(rs, lcfg.sun_softness * h / t)
+        if rs <= 0.01:
+            break
+        t += max(h, 1.5)
+    sf = lcfg.shadow_factor
+    return F(sf + (1.0 - sf) * min(max(rs, 0.0), 1.0))
+
+
 def render_frame_scalar(world: st.ScalarWorld, atlas_rgb, cam_pos, forward,
                         right, up, ecfg, time: float = 0.0):
     """(H, W, 3) float32 color image, no GI, zero jitter."""
@@ -101,6 +121,9 @@ def render_frame_scalar(world: st.ScalarWorld, atlas_rgb, cam_pos, forward,
     W, H = rcfg.width, rcfg.height
     hw, hh = rcfg.half_width, rcfg.half_height
     sun = lcfg.sun_dir
+    # 1 + highest solid y (voxel_grid.sky_limit semantics)
+    _y_any = world.solid.any(axis=(0, 2))
+    sky_y = float(_y_any.nonzero()[0].max() + 1) if _y_any.any() else 0.0
 
     def ray_dir(u01, v01):
         ndc_x = F(u01) * 2.0 - 1.0
@@ -173,7 +196,11 @@ def render_frame_scalar(world: st.ScalarWorld, atlas_rgb, cam_pos, forward,
             d = ray_dir((j + 0.5) / hw, (gy + 0.5) / hh)
             h = st.trace(world, cam_pos, d, start_half[i, j])
             half_dist[i, j] = hit_dist(h) - F(rcfg.dist_bias)
-            if h.hit and _shadow_hit(world, h.pos, h.normal, sun, 1e-1):
+            if getattr(lcfg, "soft_shadows", False):
+                if h.hit:
+                    half_shadow[i, j] = _soft_shadow(
+                        world, lcfg, h.pos, h.normal, sun, sky_y)
+            elif h.hit and _shadow_hit(world, h.pos, h.normal, sun, 1e-1):
                 half_shadow[i, j] = F(lcfg.shadow_factor)
 
     # ---- conservative min 2x2 + separable bilinear upsample (plumbing) ----

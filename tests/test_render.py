@@ -129,8 +129,8 @@ def test_split_gi_dispatch_matches_fused(engine):
                                   np.asarray(fused.depth))
 
 
-@pytest.mark.slow
-def test_image_golden_vs_scalar_renderer():
+def _golden_image_compare(width: int, height: int,
+                          soft_shadows: bool = False):
     """Image-level PSNR gate (SURVEY §4): the vectorized no-GI frame must
     match a per-pixel scalar implementation of the same reference-semantics
     pipeline (cascade start, prepass, conservative upsample, water Fresnel,
@@ -143,7 +143,12 @@ def test_image_golden_vs_scalar_renderer():
 
     ecfg = EngineConfig(world=WorldConfig().with_cube(6),
                         render=dataclasses.replace(RenderConfig(),
-                                                   width=64, height=48))
+                                                   width=width,
+                                                   height=height))
+    if soft_shadows:
+        ecfg = dataclasses.replace(
+            ecfg, lighting=dataclasses.replace(ecfg.lighting,
+                                               soft_shadows=True))
     cfg = ecfg.world
     bits = vg.generate(cfg)
     coarse = vg.coarse_occupancy(bits, cfg)
@@ -190,6 +195,17 @@ def test_image_golden_vs_scalar_renderer():
     frac_off = float((np.abs(got - want).max(axis=-1) > 0.02).mean())
     assert psnr > 35.0, (psnr, frac_off)
     assert frac_off < 0.02, (psnr, frac_off)
+
+
+@pytest.mark.slow
+def test_image_golden_vs_scalar_renderer():
+    _golden_image_compare(64, 48)
+
+
+@pytest.mark.slow
+def test_image_golden_soft_shadows():
+    """Same gate with the SDF-penumbra shadows on (config-4 mode)."""
+    _golden_image_compare(48, 32, soft_shadows=True)
 
 
 def test_soft_shadow_march_matches_scalar_model(engine):
