@@ -183,6 +183,9 @@ class LightingConfig:
     sun_softness: float = 8.0       # penumbra sharpness k in min(k*h/t)
     soft_shadow_steps: int = 16     # fixed unrolled march length
     soft_shadow_max_t: float = 192.0  # voxels; beyond -> lit
+    # march every Nth prepass pixel per axis and interpolate (penumbras
+    # are low-frequency): stride 2 = 4x fewer shadow gathers
+    soft_shadow_stride: int = 1
 
 
 @dataclass(frozen=True)
@@ -352,7 +355,8 @@ def config_stage4() -> EngineConfig:
     base = config_stage3()
     return dataclasses.replace(
         base, lighting=dataclasses.replace(base.lighting,
-                                           soft_shadows=True))
+                                           soft_shadows=True,
+                                           soft_shadow_stride=2))
 
 
 def config_stage5() -> EngineConfig:

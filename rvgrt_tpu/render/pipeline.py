@@ -215,9 +215,20 @@ def half_res_prepass(bits, sdf, cfg, rcfg, lcfg, cam: CameraArrays,
 
     if lcfg.soft_shadows:
         assert sdf is not None, "soft_shadows needs the raw SDF array"
-        shadow = shading.soft_shadow_march(
-            res.px, res.py, res.pz, res.nx, res.ny, res.nz, res.hit,
-            sdf, cfg, lcfg, sky_y=sky_y)
+        s = lcfg.soft_shadow_stride
+        if s > 1:
+            # march only every s-th prepass pixel (penumbras are smooth)
+            # and lerp between the marched sites
+            sub = lambda a: a[::s, ::s]  # noqa: E731
+            q = shading.soft_shadow_march(
+                sub(res.px), sub(res.py), sub(res.pz),
+                sub(res.nx), sub(res.ny), sub(res.nz), sub(res.hit),
+                sdf, cfg, lcfg, sky_y=sky_y)
+            shadow = _expand_even(q, s, res.hit.shape)
+        else:
+            shadow = shading.soft_shadow_march(
+                res.px, res.py, res.pz, res.nx, res.ny, res.nz, res.hit,
+                sdf, cfg, lcfg, sky_y=sky_y)
     else:
         sun = vm.splat(lcfg.sun_dir, res.hit.shape)
         shadow_hit = _shadow_trace(trace_fn, res.hit,
@@ -227,6 +238,30 @@ def half_res_prepass(bits, sdf, cfg, rcfg, lcfg, cam: CameraArrays,
         shadow = jnp.where(res.hit & shadow_hit, _F32(lcfg.shadow_factor),
                            _F32(1.0))
     return dist - _F32(rcfg.dist_bias), shadow
+
+
+def _expand_even(a: jnp.ndarray, s: int, out_shape) -> jnp.ndarray:
+    """Linear upsample by integer factor ``s`` with sources anchored at
+    the EVEN grid sites (out[s*k] == a[k]); edge-clamped, sliced to
+    ``out_shape``.  Used to spread strided soft-shadow samples back onto
+    the full prepass grid."""
+    def axis_up(v, axis):
+        n = v.shape[axis]
+        idx = [slice(None)] * v.ndim
+        idx[axis] = slice(n - 1, n)
+        last = v[tuple(idx)]
+        body = [slice(None)] * v.ndim
+        body[axis] = slice(1, n)
+        nxt = jnp.concatenate([v[tuple(body)], last], axis=axis)
+        ws = [(1.0 - j / s) for j in range(s)]
+        planes = [v * _F32(w) + nxt * _F32(1.0 - w) for w in ws]
+        out = jnp.stack(planes, axis=axis + 1)
+        shape = list(v.shape)
+        shape[axis] *= s
+        return out.reshape(shape)
+
+    up = axis_up(axis_up(a, 0), 1)
+    return up[:out_shape[0], :out_shape[1]]
 
 
 def min_dist_upsample(half_dist: jnp.ndarray) -> jnp.ndarray:

@@ -173,6 +173,15 @@ def main():
     hd, _ = timeit("prepass pair (cascade+primary+shadow)", prep_j, tbl,
                    sky_y)
 
+    # ---- 2b. soft-shadow prepass variants (SDF penumbra march) ----
+    for stride in (1, 2):
+        lsoft = dataclasses.replace(ecfg.lighting, soft_shadows=True,
+                                    soft_shadow_stride=stride)
+        sj = jax.jit(lambda b, s, t, sy, _l=lsoft: pipeline.half_res_prepass(
+            b, s, cfg, rcfg, _l, cam, table=t, sky_y=sy))
+        timeit(f"prepass pair [soft shadows, stride {stride}]", sj,
+               world.bits, world.sdf, tbl, sky_y)
+
     # ---- 3. full-res primary ----
     def primary(t, sy, st):
         dx, dy, dz = pipeline._ray_dirs(cam, w, h, pixel_center=False)

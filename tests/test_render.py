@@ -294,3 +294,37 @@ def test_soft_shadow_prepass_runs_and_bounds(engine):
     assert ((s >= lo) & (s <= 1.0 + 1e-5)).all(), (s.min(), s.max())
     # soft shadows produce intermediate values somewhere in a terrain view
     assert s.min() < 1.0
+
+
+def test_soft_shadow_stride_interpolates_marched_sites(engine):
+    """Stride-2 prepass shadows == exact linear interpolation of the
+    stride-1 march evaluated at the even sites."""
+    ecfg = engine.ecfg
+    e2 = dataclasses.replace(
+        ecfg, lighting=dataclasses.replace(ecfg.lighting,
+                                           soft_shadows=True,
+                                           soft_shadow_stride=2))
+    w = engine.world
+    from rvgrt_tpu.driver.engine import camera_arrays
+    ch = engine.character
+    cam = camera_arrays(ch.camera, vp=ch.unjittered_view_projection,
+                        prev_vp=ch.prev_unjittered_view_projection,
+                        jitter=(0.0, 0.0), time_s=0.0)
+    _, s2 = pipeline.half_res_prepass(w.bits, w.sdf, e2.world, e2.render,
+                                      e2.lighting, cam, sky_y=w.sky_y)
+    e1 = dataclasses.replace(
+        e2, lighting=dataclasses.replace(e2.lighting, soft_shadow_stride=1))
+    _, s1 = pipeline.half_res_prepass(w.bits, w.sdf, e1.world, e1.render,
+                                      e1.lighting, cam, sky_y=w.sky_y)
+    a2 = np.asarray(s2)
+    a1 = np.asarray(s1)
+    assert a2.shape == a1.shape
+    # even sites are the marched values themselves
+    np.testing.assert_allclose(a2[::2, ::2], a1[::2, ::2], atol=1e-5)
+    # odd sites are the average of their even neighbours (edge-clamped)
+    q = a1[::2, ::2]
+    qn = np.concatenate([q[:, 1:], q[:, -1:]], axis=1)
+    want_oddx = 0.5 * (q + qn)
+    np.testing.assert_allclose(a2[::2, 1::2],
+                               want_oddx[:, :a2[::2, 1::2].shape[1]],
+                               atol=1e-5)
