@@ -208,6 +208,52 @@ def _warp_state(state: TemporalState, motion_lowres: jnp.ndarray,
         v = ((1 - fx) * (1 - fy) * v00 + fx * (1 - fy) * v01
              + (1 - fx) * fy * v10 + fx * fy * v11)
         return v[:3], v[3] * inside
+    if taps == "catmull_shift":
+        # Catmull-Rom history resample at the same 1-gather cost: the 4x4
+        # tap neighborhood comes from output-space shifts of the single
+        # floor-tap gather (the bilinear_shift trick, one ring wider).
+        # Bilinear reprojection low-passes the history a little every
+        # frame, which compounds into visible blur under sustained motion;
+        # the cubic kernel's negative lobes undo most of that.  RGB uses
+        # Catmull-Rom (clamped: the lobes can overshoot), confidence stays
+        # bilinear (a sample count must not go negative).
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx = (x - x0)[None]
+        fy = (y - y0)[None]
+        g = packed[y0, x0]
+        rgb00, n00 = _unpack_rgbn_cf(g)
+        v00 = jnp.concatenate([rgb00, n00[None]], axis=0)  # (4, H, W)
+
+        def cr_w(t):
+            # Catmull-Rom weights for taps at -1, 0, +1, +2
+            t2 = t * t
+            t3 = t2 * t
+            return (_F32(-0.5) * t + t2 - _F32(0.5) * t3,
+                    _F32(1.0) - _F32(2.5) * t2 + _F32(1.5) * t3,
+                    _F32(0.5) * t + _F32(2.0) * t2 - _F32(1.5) * t3,
+                    _F32(-0.5) * t2 + _F32(0.5) * t3)
+
+        wx = cr_w(fx)
+        wy = cr_w(fy)
+        cols = [_shift_cf(v00, m, axis=2) if m else v00
+                for m in (-1, 0, 1, 2)]
+        rgb = jnp.zeros_like(v00[:3])
+        for j, m in enumerate((-1, 0, 1, 2)):
+            row = jnp.zeros_like(v00[:3])
+            for k in range(4):
+                c = _shift_cf(cols[k], m, axis=1) if m else cols[k]
+                row = row + wx[k] * c[:3]
+            rgb = rgb + wy[j] * row
+        # confidence: bilinear over the center 2x2 of the same stack
+        n_acc = jnp.zeros_like(v00[3])
+        for j, m in enumerate((0, 1)):
+            for k_i, k in enumerate((1, 2)):
+                c = _shift_cf(cols[k], m, axis=1) if m else cols[k]
+                bw = ((fx if k == 2 else 1.0 - fx)
+                      * (fy if m == 1 else 1.0 - fy))[0]
+                n_acc = n_acc + bw * c[3]
+        return jnp.clip(rgb, 0.0, 1.0), n_acc * inside
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     x1 = jnp.minimum(x0 + 1, hw - 1)

@@ -44,6 +44,11 @@ def main():
     p.add_argument("--path-seed", type=int, default=101)
     p.add_argument("--net", nargs="*", default=[],
                    help="learned checkpoints to include")
+    p.add_argument("--taps", nargs="*",
+                   default=["bilinear"],
+                   help="temporal-accumulator history-warp variants to "
+                        "evaluate (bilinear / bilinear_shift / "
+                        "catmull_shift / nearest)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (fast small-scale checks)")
     args = p.parse_args()
@@ -102,17 +107,24 @@ def main():
 
     base = report("bilinear", run_bilinear)
 
-    t_up = jax.jit(temporal.temporal_upscale)
+    tp = base
+    for taps in args.taps:
+        t_up = jax.jit(lambda c, m, d, j, s, taps=taps:
+                       temporal.temporal_upscale(c, m, d, j, s,
+                                                 warp_taps=taps))
 
-    def run_temporal(seg):
-        state = temporal.init_state(args.low_h, args.low_w)
-        outs = []
-        for s in seg:
-            out, state = t_up(s.color, s.motion, s.depth, s.jitter, state)
-            outs.append(out)
-        return outs
+        def run_temporal(seg, t_up=t_up):
+            state = temporal.init_state(args.low_h, args.low_w)
+            outs = []
+            for s in seg:
+                out, state = t_up(s.color, s.motion, s.depth, s.jitter,
+                                  state)
+                outs.append(out)
+            return outs
 
-    tp = report("temporal accumulator", run_temporal)
+        got = report(f"temporal[{taps}]", run_temporal)
+        if taps == args.taps[0]:
+            tp = got
 
     for path in args.net:
         net, params = up_model.load_checkpoint(path)
