@@ -1,7 +1,8 @@
 """Headline benchmark: FPS + Mrays/s on the reference's own operating point.
 
 Headline config (round 2+): 1024^3 world, render 1280x800 with full shading
-(hard shadows + cone-traced GI + water) and learned 3x upscale to 3840x2400
+(SDF-marched soft shadows + cone-traced GI + water) and temporal 3x upscale
+to 3840x2400
 - the reference's pipeline shape (1280x800 -> DLSS -> 4K, ``State.hpp:28-32``,
 ``main.cpp:191``) with GI on (``INCLUDEGI``, ``StateRender.cu:12``).
 Prints ONE JSON line on stdout:
@@ -21,7 +22,9 @@ tunnel returns early and cannot time anything.
 
 Knobs via env: BENCH_CUBE (10), BENCH_W/BENCH_H (1280x800), BENCH_FRAMES
 (16), BENCH_GI (1), BENCH_UPSCALE (1), BENCH_CONFIG4 (1 = also measure
-1920x1080 native GI-on in extras).
+1920x1080 native GI-on in extras), BENCH_SOFT (1 = SDF-marched soft
+shadows at stride 2 - the BASELINE config-4 shadow model and 2.2x cheaper
+than the hard-shadow trace, PERF.md; 0 = the reference's hard shadows).
 """
 
 from __future__ import annotations
@@ -65,6 +68,7 @@ def main():
         up_mode = "net"
     upscale = up_mode != "0"
     config4 = os.environ.get("BENCH_CONFIG4", "1") == "1"
+    soft = os.environ.get("BENCH_SOFT", "1") == "1"
 
     dev = jax.devices()[0]
 
@@ -79,13 +83,17 @@ def main():
     readback_s = time.time() - t0
     log(f"steady-state scalar readback: {readback_s:.2f}s")
 
+    from rvgrt_tpu.config import LightingConfig
+
     ecfg = EngineConfig(
         world=WorldConfig().with_cube(cube),
         render=dataclasses.replace(RenderConfig(), width=width,
                                    height=height),
+        lighting=dataclasses.replace(LightingConfig(), soft_shadows=soft,
+                                     soft_shadow_stride=2),
     )
     log(f"world {2**cube}^3, {width}x{height}, gi={include_gi}, "
-        f"upscale={upscale}")
+        f"upscale={upscale}, soft_shadows={soft}")
 
     t0 = time.time()
     world = eng_mod.build_world(ecfg, verbose=True, init_gi=include_gi)
@@ -260,7 +268,12 @@ def main():
         rays = {
             "primary": w_ * h_,
             "prepass_primary": hw * hh,
-            "prepass_shadow": hw * hh,
+            # soft shadows march one SDF ray per STRIDED prepass site
+            # (penumbras interpolated between sites); hard shadows trace
+            # one hybrid ray per prepass pixel
+            "prepass_shadow": ((hw // ec.lighting.soft_shadow_stride)
+                               * (hh // ec.lighting.soft_shadow_stride)
+                               if ec.lighting.soft_shadows else hw * hh),
             "cascade": (hw // q) * (hh // q) if q > 1 else 0,
         }
         if include_gi:
@@ -301,12 +314,13 @@ def main():
             log(f"config4 extra failed: {e}")
 
     gi_tag = "on" if include_gi else "off"
+    sh_tag = "soft" if soft else "hard"
     op = (f"{width}x{height}+3x upscale to {3 * width}x{3 * height}"
           if upscale else f"{width}x{height}")
     print(json.dumps({
         "metric": f"Mrays/s at {op} hybrid SDF+DDA trace "
-                  f"({2**cube}^3 world, gi={gi_tag}, single chip, "
-                  f"pipelined dispatch)",
+                  f"({2**cube}^3 world, gi={gi_tag}, {sh_tag} shadows, "
+                  f"single chip, pipelined dispatch)",
         "value": mrays,
         "unit": "Mrays/s",
         "vs_baseline": round(fps / 30.0, 4),

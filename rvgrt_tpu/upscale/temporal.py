@@ -17,8 +17,11 @@ TPU shape of the algorithm (everything is dense VPU work + ONE gather):
   per frame.  Jitter-aware 3x upsampling is therefore a per-phase
   separable convolution (9 fixed blends of shifted images), not a gather.
 * history + per-pixel confidence are packed RGBN into one uint32/display
-  pixel, so reprojection is a single 4-tap gather (the packed-warp trick
-  from ``model.warp_history``; gathers cost ~7.5 ns/element on v5e).
+  pixel, so reprojection is a single gather (the packed-warp trick from
+  ``model.warp_history``; gathers cost ~7.5 ns/element on v5e).  The
+  default ``bilinear_shift`` warp takes its 3 neighbor taps as
+  output-space shifts of that one gather - measured 120 dB vs the true
+  4-tap bilinear warp on moving frames at 418 -> 172 ms (3840x2400, v5e).
 * rectification = clamp to the 3x3 low-res neighborhood min/max
   (shift/min/max at low res, nearest-upsampled).
 * blending is a running average: confidence ``n`` counts effective
@@ -304,7 +307,8 @@ def temporal_upscale(color: jnp.ndarray, motion: jnp.ndarray,
                      state: TemporalState, *,
                      sigma: float = 0.9, w_min: float = 0.08,
                      gamma: float = 1.0, clamp_beta: float = 16.0,
-                     clamp_eps: float = 0.01, warp_taps: str = "bilinear"):
+                     clamp_eps: float = 0.01,
+                     warp_taps: str = "bilinear_shift"):
     """One frame of temporal 3x super-resolution.
 
     Returns ``(out, new_state)`` with ``out`` (SCALE*h, SCALE*w, 3).  The
