@@ -57,12 +57,19 @@ def build_world(ecfg: EngineConfig, verbose: bool = True,
         bits = voxel_grid.generate(cfg, ecfg.terrain)
         bits.block_until_ready()
     with Timer("building coarse SDF", verbose):
-        coarse = voxel_grid.coarse_occupancy(bits, cfg)
-        sdf = sdf_mod.build_sdf(coarse, cfg)
-        # far-field mip extension: u8 values 65..255 for 510-voxel jumps
-        # (conservative - rendered frames are identical; see extend_sdf_far)
-        sdf = jax.jit(sdf_mod.extend_sdf_far,
-                      static_argnums=2)(sdf, coarse, cfg)
+        # one jit for the whole phase: eager dispatch pays a per-op
+        # host->device round trip through the tunnel (measured 50-66 s
+        # for this phase at 1024^3; jitted it is device-bound)
+        @functools.partial(jax.jit, static_argnums=1)
+        def _sdf_phase(b, cfg):
+            coarse = voxel_grid.coarse_occupancy(b, cfg)
+            s = sdf_mod.build_sdf(coarse, cfg)
+            # far-field mip extension: u8 values 65..255 for 510-voxel
+            # jumps (conservative - rendered frames are identical; see
+            # extend_sdf_far)
+            return sdf_mod.extend_sdf_far(s, coarse, cfg)
+
+        sdf = _sdf_phase(bits, cfg)
         sdf.block_until_ready()
     with Timer("building texture atlas", verbose):
         atlas = atlas_mod.default_atlas()
@@ -77,8 +84,10 @@ def build_world(ecfg: EngineConfig, verbose: bool = True,
         sky_y.block_until_ready()
     if init_gi:
         with Timer("initializing GI", verbose):
-            gi = gi_update.init_gi(bits, sdf, ecfg, sky_y=sky_y,
-                                   table=table)
+            gi = jax.jit(gi_update.init_gi,
+                         static_argnames=("ecfg",))(bits, sdf, ecfg,
+                                                    sky_y=sky_y,
+                                                    table=table)
             gi.block_until_ready()
     else:
         gi = gi_grid.zeros(cfg)

@@ -156,7 +156,7 @@ def _unpack_rgbn_cf(word: jnp.ndarray):
 
 
 def _warp_state(state: TemporalState, motion_lowres: jnp.ndarray,
-                taps: str = "bilinear"):
+                taps: str = "bilinear", motion_decay: float = 0.35):
     """Reproject history + confidence with ONE packed 4-tap gather.
 
     Same coordinate convention as ``model.warp_history`` (motion = NDC
@@ -175,10 +175,14 @@ def _warp_state(state: TemporalState, motion_lowres: jnp.ndarray,
     # motion-adaptive decay: every warp both resamples (a ~0.25 px blur)
     # and inherits motion-vector error, which COMPOUND over frames; decay
     # confidence with the local motion magnitude so accumulation is deep
-    # when still and leans on the current frame when moving
+    # when still and leans on the current frame when moving.  The motion
+    # vectors here are ANALYTIC (VP-matrix reprojection of the hit point,
+    # exact for static geometry), so the decay guards only resample blur
+    # and disocclusion residue - keep it mild; the variance clamp is the
+    # primary staleness rejector.
     mpx = jnp.sqrt((mvx * _F32(0.5 * hw)) ** 2
                    + (mvy * _F32(0.5 * hh)) ** 2)
-    inside = inside * jnp.exp(-mpx * _F32(0.35))
+    inside = inside * jnp.exp(-mpx * _F32(motion_decay))
     packed = _pack_rgbn(state.history, state.conf)
     x = jnp.clip(xs, 0.0, hw - 1.0)
     y = jnp.clip(ys, 0.0, hh - 1.0)
@@ -308,7 +312,8 @@ def temporal_upscale(color: jnp.ndarray, motion: jnp.ndarray,
                      sigma: float = 0.9, w_min: float = 0.08,
                      gamma: float = 1.0, clamp_beta: float = 16.0,
                      clamp_eps: float = 0.01,
-                     warp_taps: str = "bilinear_shift"):
+                     warp_taps: str = "bilinear_shift",
+                     motion_decay: float = 0.35):
     """One frame of temporal 3x super-resolution.
 
     Returns ``(out, new_state)`` with ``out`` (SCALE*h, SCALE*w, 3).  The
@@ -320,7 +325,8 @@ def temporal_upscale(color: jnp.ndarray, motion: jnp.ndarray,
     h, w = color.shape[0], color.shape[1]
 
     cur = jitter_upsample(color, jitter_ndc)            # (3, H, W)
-    hist, n_prev = _warp_state(state, motion, taps=warp_taps)
+    hist, n_prev = _warp_state(state, motion, taps=warp_taps,
+                               motion_decay=motion_decay)
 
     mn, mx = _neighborhood_box(color, gamma)
     clamped = jnp.clip(hist, mn - _F32(clamp_eps), mx + _F32(clamp_eps))

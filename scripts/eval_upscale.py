@@ -45,10 +45,13 @@ def main():
     p.add_argument("--net", nargs="*", default=[],
                    help="learned checkpoints to include")
     p.add_argument("--taps", nargs="*",
-                   default=["bilinear"],
+                   default=["bilinear_shift"],
                    help="temporal-accumulator history-warp variants to "
                         "evaluate (bilinear / bilinear_shift / "
                         "catmull_shift / nearest)")
+    p.add_argument("--decay", nargs="*", type=float, default=[0.35],
+                   help="motion-decay values to evaluate (crossed with "
+                        "the first --taps entry)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (fast small-scale checks)")
     args = p.parse_args()
@@ -108,10 +111,13 @@ def main():
     base = report("bilinear", run_bilinear)
 
     tp = base
-    for taps in args.taps:
-        t_up = jax.jit(lambda c, m, d, j, s, taps=taps:
+    variants = [(t, args.decay[0]) for t in args.taps]
+    variants += [(args.taps[0], d) for d in args.decay[1:]]
+    for taps, decay in variants:
+        t_up = jax.jit(lambda c, m, d, j, s, taps=taps, decay=decay:
                        temporal.temporal_upscale(c, m, d, j, s,
-                                                 warp_taps=taps))
+                                                 warp_taps=taps,
+                                                 motion_decay=decay))
 
         def run_temporal(seg, t_up=t_up):
             state = temporal.init_state(args.low_h, args.low_w)
@@ -122,8 +128,8 @@ def main():
                 outs.append(out)
             return outs
 
-        got = report(f"temporal[{taps}]", run_temporal)
-        if taps == args.taps[0]:
+        got = report(f"temporal[{taps} d={decay}]", run_temporal)
+        if (taps, decay) == variants[0]:
             tp = got
 
     for path in args.net:
