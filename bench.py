@@ -69,6 +69,7 @@ def main():
     upscale = up_mode != "0"
     config4 = os.environ.get("BENCH_CONFIG4", "1") == "1"
     soft = os.environ.get("BENCH_SOFT", "1") == "1"
+    fast_trace = os.environ.get("BENCH_FAST_TRACE", "1") == "1"
 
     dev = jax.devices()[0]
 
@@ -85,15 +86,24 @@ def main():
 
     from rvgrt_tpu.config import LightingConfig
 
+    rcfg = dataclasses.replace(RenderConfig(), width=width, height=height)
+    if fast_trace:
+        # TPU-tuned tracer cadence (scripts/probe_r6.py, within-run at
+        # 1280x800/1024^3): 6 DDA substeps per brick gather (bit-exact),
+        # SDF re-probe every 16 DDA steps and a 4-voxel conservative start
+        # bias (vs the reference's 8/8) - primary trace 443 -> 330 ms,
+        # image delta 1/1M hit flags + 274/1M normals.  BENCH_FAST_TRACE=0
+        # restores the reference cadence.
+        rcfg = dataclasses.replace(rcfg, dda_substeps=6,
+                                   sdf_probe_interval=16, dist_bias=4.0)
     ecfg = EngineConfig(
         world=WorldConfig().with_cube(cube),
-        render=dataclasses.replace(RenderConfig(), width=width,
-                                   height=height),
+        render=rcfg,
         lighting=dataclasses.replace(LightingConfig(), soft_shadows=soft,
                                      soft_shadow_stride=2),
     )
     log(f"world {2**cube}^3, {width}x{height}, gi={include_gi}, "
-        f"upscale={upscale}, soft_shadows={soft}")
+        f"upscale={upscale}, soft_shadows={soft}, fast_trace={fast_trace}")
 
     t0 = time.time()
     world = eng_mod.build_world(ecfg, verbose=True, init_gi=include_gi)
@@ -198,13 +208,20 @@ def main():
         else:
             hist0 = jnp.zeros((1, 1, 3), jnp.float32)
 
-        # the real 8-phase jitter sequence (Character.update semantics):
-        # cost-identical to zero jitter (a traced scalar), but the
-        # upscalers see the true sub-pixel offsets
-        from rvgrt_tpu.scene.camera import JITTER_SEQUENCE
+        # real jitter (Character.update semantics): cost-identical to zero
+        # jitter (a traced scalar), but the upscalers see true sub-pixel
+        # offsets.  With the temporal accumulator in the loop, use the
+        # 9-phase full-display-phase-coverage sequence (the reference's
+        # 8-phase table never lands on 2 of the 9 display phases of a 3x
+        # upscale - measured +0.4 dB static, scripts/eval_upscale.py)
+        from rvgrt_tpu.scene.camera import (JITTER_SEQUENCE,
+                                            phase_jitter_sequence)
+
+        seq = (phase_jitter_sequence(3)
+               if upscale and up_mode == "temporal" else JITTER_SEQUENCE)
 
         def jit_ndc(i):
-            jx, jy = JITTER_SEQUENCE[i % 8] * 0.5
+            jx, jy = seq[i % len(seq)] * 0.5
             return (float(jx) * 2.0 / ec.render.width,
                     float(jy) * 2.0 / ec.render.height)
 

@@ -139,9 +139,13 @@ def main(argv=None):
 
     up_step = history = None
     if args.upscale == "temporal":
+        from rvgrt_tpu.scene.camera import phase_jitter_sequence
         from rvgrt_tpu.upscale import model as up_model
         from rvgrt_tpu.upscale import temporal
 
+        # full display-phase coverage for the accumulator (the reference's
+        # 8-phase table misses 2 of the 9 phases of a 3x upscale)
+        eng.character.jitter_sequence = phase_jitter_sequence(up_model.SCALE)
         t_state = temporal.init_state(ecfg.render.height, ecfg.render.width)
         t_up = jax.jit(temporal.temporal_upscale)
     elif args.upscale:

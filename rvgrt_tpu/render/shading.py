@@ -33,17 +33,42 @@ def sample_sky(d, lcfg: LightingConfig):
                                                           sun_dot.shape), sky)
 
 
+def max_cone_steps(lcfg: LightingConfig) -> int:
+    """Iterations until a cone provably exceeds ``gi_max_distance``.
+
+    The march starts at 2*step_size and advances by
+    ``max(step_size, 0.5 * tan(angle) * cur)`` whenever it samples, so the
+    farthest-reaching trajectory is deterministic in the config constants:
+    16 steps at the reference constants (<=20 steps, angle 0.4, step 1.5,
+    max dist 64 - ``raytracing_functions.cuh:9-12``).  Iterations past
+    this bound are masked no-ops in the fixed-trip vector loop - pure
+    gather waste - so the default trip count is computed, not 20.
+    Capped at the reference's 20 (``raytracing_functions.cu:222``).
+    """
+    tan_half = 0.5 * math.tan(lcfg.cone_angle)
+    cur, n = 2.0 * lcfg.gi_step_size, 0
+    while cur <= lcfg.gi_max_distance and n < 20:
+        cur += max(lcfg.gi_step_size, tan_half * cur)
+        n += 1
+    return n
+
+
 def trace_cone(px, py, pz, dx, dy, dz, gi, sdf, cfg: WorldConfig,
-               lcfg: LightingConfig, steps: int = 20, cone_table=None):
+               lcfg: LightingConfig, steps: int | None = None,
+               cone_table=None):
     """Front-to-back cone march through the GI grid with SDF occlusion.
 
     Fixed ``steps`` iterations with an activity mask - uniform trip count,
     vectorizes cleanly (the reference's break conditions become mask
-    updates).  Per step: one SDF gather + one GI gather - or, when
-    ``cone_table`` (``gi_grid.make_cone_table``) is given, ONE fused gather
-    that yields both; random gathers are the whole cost of this stage on
-    TPU, so the fused path halves it.
+    updates); ``None`` = the exact config-derived bound
+    (``max_cone_steps``, bit-identical to the reference's 20 because the
+    tail iterations are provably inactive).  Per step: one SDF gather +
+    one GI gather - or, when ``cone_table`` (``gi_grid.make_cone_table``)
+    is given, ONE fused gather that yields both; random gathers are the
+    whole cost of this stage on TPU, so the fused path halves it.
     """
+    if steps is None:
+        steps = max_cone_steps(lcfg)
     shape = jnp.broadcast_shapes(jnp.shape(px), jnp.shape(dx))
     tan_angle = _F32(math.tan(lcfg.cone_angle))
     px = jnp.broadcast_to(px, shape)

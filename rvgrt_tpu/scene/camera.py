@@ -36,6 +36,27 @@ JITTER_SEQUENCE = np.array([
 ], np.float32)
 
 
+def phase_jitter_sequence(scale: int) -> np.ndarray:
+    """Full-coverage jitter for SCALE-x temporal super-resolution.
+
+    The reference's 8-phase table covers only 7 of the 9 display-pixel
+    phases of a 3x upscale (two display phases never receive a direct
+    sample and stay interpolated forever).  This sequence lands exactly
+    one sample per display phase every scale^2 frames: phase p's offset
+    from the render-pixel center is (p + 0.5)/scale - 0.5, stored at 2x
+    because Character consumes sequences at half strength
+    (Character.cpp:101-102 semantics).  Frames are ordered by an R2
+    low-discrepancy rank so consecutive frames stay well spread.
+    """
+    n = scale * scale
+    order = sorted(range(n),
+                   key=lambda k: ((k % scale) * 0.7548776662466927
+                                  + (k // scale) * 0.5698402909980532) % 1.0)
+    seq = [[2.0 * (((k % scale) + 0.5) / scale - 0.5),
+            2.0 * (((k // scale) + 0.5) / scale - 0.5)] for k in order]
+    return np.array(seq, np.float32)
+
+
 def _norm(v: np.ndarray) -> np.ndarray:
     return (v / np.linalg.norm(v)).astype(F32)
 
@@ -133,6 +154,11 @@ class Character:
     sensitivity: float = 0.015
     gravity: float = 0.0
     use_jitter: bool = True
+    # the TAA jitter table; swap for phase_jitter_sequence(3) when the
+    # temporal super-resolution upscaler is in the loop (full 3x3 display-
+    # phase coverage).  The default is the reference's 8-phase table.
+    jitter_sequence: np.ndarray = field(
+        default_factory=lambda: JITTER_SEQUENCE)
 
     def __post_init__(self):
         self.direction = dir_from_sphere(self.pitch, self.yaw)
@@ -185,8 +211,9 @@ class Character:
 
         jx = jy = 0.0
         if self.use_jitter:
-            jx = float(JITTER_SEQUENCE[frame_count % 8][0]) * 0.5
-            jy = float(JITTER_SEQUENCE[frame_count % 8][1]) * 0.5
+            seq = self.jitter_sequence
+            jx = float(seq[frame_count % len(seq)][0]) * 0.5
+            jy = float(seq[frame_count % len(seq)][1]) * 0.5
             proj = proj.copy()
             proj[2, 0] += jx / (0.5 * self.display_width)
             proj[2, 1] += jy / (0.5 * self.display_height)

@@ -76,7 +76,8 @@ def render_pair_dataset(ecfg, n_frames: int, low_w: int, low_h: int,
                         segment_len: int = 12,
                         path_seed: int = 0,
                         static: bool = False,
-                        ssaa: int = 0) -> Iterator[Sample]:
+                        ssaa: int = 0,
+                        jitter_seq=None) -> Iterator[Sample]:
     """Render (low-res inputs, 3x high-res target) pairs along a
     deterministic flythrough of the configured world.
 
@@ -106,6 +107,10 @@ def render_pair_dataset(ecfg, n_frames: int, low_w: int, low_h: int,
     # DLSS input contract - the known sub-pixel offset is the signal that
     # makes temporal super-resolution possible).
     hi.character.use_jitter = False
+    if jitter_seq is not None:
+        # e.g. camera.phase_jitter_sequence(3): full display-phase
+        # coverage for the temporal super-resolution accumulator
+        lo.character.jitter_sequence = jitter_seq
     spawn = spawn_above_terrain(lo)
     hi.character.position = spawn.copy()
     hi.character.pitch = lo.character.pitch

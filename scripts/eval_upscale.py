@@ -52,6 +52,10 @@ def main():
     p.add_argument("--decay", nargs="*", type=float, default=[0.35],
                    help="motion-decay values to evaluate (crossed with "
                         "the first --taps entry)")
+    p.add_argument("--jitter9", action="store_true",
+                   help="drive the renderer with the 9-phase full-"
+                        "coverage jitter (camera.phase_jitter_sequence(3)) "
+                        "instead of the reference's 8-phase table")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (fast small-scale checks)")
     args = p.parse_args()
@@ -71,11 +75,16 @@ def main():
     ecfg = EngineConfig(world=WorldConfig().with_cube(args.cube),
                         render=RenderConfig())
     t0 = time.time()
+    jseq = None
+    if args.jitter9:
+        from rvgrt_tpu.scene.camera import phase_jitter_sequence
+        jseq = phase_jitter_sequence(up_model.SCALE)
     data = list(render_pair_dataset(ecfg, args.frames, args.low_w,
                                     args.low_h, include_gi=args.gi,
                                     segment_len=args.seg,
                                     path_seed=args.path_seed,
-                                    static=args.static, ssaa=args.ssaa))
+                                    static=args.static, ssaa=args.ssaa,
+                                    jitter_seq=jseq))
     print(f"rendered {len(data)} pairs in {time.time() - t0:.0f}s",
           flush=True)
     segs = [data[i:i + args.seg] for i in range(0, len(data), args.seg)]

@@ -57,7 +57,7 @@ def test_render_frame_sharded_matches_single_device(world64):
     cfg, bits, sdf, atlas = world64
     ecfg = EngineConfig(world=cfg,
                         render=dataclasses.replace(RenderConfig(),
-                                                   width=64, height=32))
+                                                   width=32, height=16))
     gi = gi_grid.zeros(cfg)
     cam = _camera(cfg)
 
