@@ -567,12 +567,29 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
     prev_clip = vm.mat_mul_vec4(cam.prev_vp, (res.px, res.py, res.pz, ones))
     cur_clip = vm.mat_mul_vec4(cam.vp, (res.px, res.py, res.pz, ones))
     both_front = (prev_clip[3] > 0.0) & (cur_clip[3] > 0.0)
+    # miss pixels get the motion of a point at INFINITY along the ray
+    # (w = 0 through the VP matrices): exact for sky under rotation, and
+    # translation does not move infinity.  The reference leaves miss
+    # motion at zero, which is wrong under rotation - DLSS-class temporal
+    # upscalers then warp sky history incorrectly and must clamp the
+    # misalignment away (measured: the accumulator's sky/still detector
+    # reads rotating sky as "still" and ghosts).
+    zeros = jnp.zeros_like(res.px)
+    prev_inf = vm.mat_mul_vec4(cam.prev_vp, (dx, dy, dz, zeros))
+    cur_inf = vm.mat_mul_vec4(cam.vp, (dx, dy, dz, zeros))
+    inf_front = (prev_inf[3] > 0.0) & (cur_inf[3] > 0.0)
+    mv_inf_x = jnp.where(inf_front,
+                         cur_inf[0] / cur_inf[3] - prev_inf[0] / prev_inf[3],
+                         0.0)
+    mv_inf_y = jnp.where(inf_front,
+                         cur_inf[1] / cur_inf[3] - prev_inf[1] / prev_inf[3],
+                         0.0)
     mv_x = jnp.where(hit & both_front,
                      cur_clip[0] / cur_clip[3] - prev_clip[0] / prev_clip[3],
-                     0.0)
+                     jnp.where(hit, 0.0, mv_inf_x))
     mv_y = jnp.where(hit & both_front,
                      cur_clip[1] / cur_clip[3] - prev_clip[1] / prev_clip[3],
-                     0.0)
+                     jnp.where(hit, 0.0, mv_inf_y))
     depth = jnp.where(hit & (cur_clip[3] > 0.0),
                       cur_clip[2] / cur_clip[3], _F32(1.0))
 
