@@ -65,6 +65,60 @@ def test_moving_camera_motion_and_determinism(engine):
     assert np.abs(np.asarray(out.motion)).max() > 1e-4
 
 
+def test_sky_motion_is_point_at_infinity(engine):
+    """Miss pixels carry the reprojection of a point at infinity along the
+    ray (PARITY.md deliberate decision): rotation moves the sky, pure
+    translation does not.  Verified against an independent numpy
+    reprojection over the whole sky region."""
+    ch = engine.character
+    # rotate: sky pixels must move
+    engine.step(InputState(mouse_dx=30.0))
+    out = engine.step(InputState(mouse_dx=30.0))
+    depth = np.asarray(out.depth)
+    mv = np.asarray(out.motion)
+    # true misses: depth == 1 AND the half-res prepass saw the miss
+    # sentinel (depth == 1 alone also catches first-cell hits AT the
+    # camera, whose clip w is 0 - they carry zero motion by design)
+    hd = np.repeat(np.repeat(np.asarray(out.half_dist), 2, 0), 2, 1)
+    sky = (depth == 1.0) & (hd > 200.0)
+    assert sky.any()
+    assert np.abs(mv[sky]).max() > 1e-4
+    # independent (dir, 0) reprojection, vectorized over the image
+    h, w = depth.shape
+    jx, jy = np.asarray(ch.ray_jitter_ndc(), np.float32)
+    ndc_x = (np.arange(w, dtype=np.float32) / w * 2.0 - 1.0 + jx)[None, :]
+    ndc_y = (np.arange(h, dtype=np.float32) / h * 2.0 - 1.0 + jy)[:, None]
+    fwd, ri, up = ch.camera.forward, ch.camera.right, ch.camera.up
+    d = np.stack([fwd[k] + ndc_x * ri[k] + ndc_y * up[k]
+                  for k in range(3)])          # (3, h, w), unnormalized OK
+    d = d / np.linalg.norm(d, axis=0, keepdims=True)
+
+    def clip_of(m):
+        return np.einsum("cr,chw->rhw",
+                         m[:3].astype(np.float32), d)  # (4, h, w)
+
+    cur = clip_of(ch.unjittered_view_projection)
+    prev = clip_of(ch.prev_unjittered_view_projection)
+    front = (cur[3] > 0) & (prev[3] > 0)
+    exp_x = cur[0] / cur[3] - prev[0] / prev[3]
+    exp_y = -(cur[1] / cur[3] - prev[1] / prev[3])
+    m = sky & front
+    # a handful of border pixels first-cell-hit AT the camera (clip w = 0,
+    # motion 0 by design) while the pixel-center prepass ray missed -
+    # exclude the exact-zero signature, require it stays a sliver
+    m2 = m & (np.abs(mv).sum(axis=-1) > 0)
+    assert m2.sum() > 0.9 * m.sum()
+    assert np.allclose(mv[m2][:, 0], exp_x[m2], atol=1e-4)
+    assert np.allclose(mv[m2][:, 1], exp_y[m2], atol=1e-4)
+    # pure translation: sky must NOT move (infinity is fixed)
+    out = engine.step(InputState(move_z=1.0))
+    depth = np.asarray(out.depth)
+    mv = np.asarray(out.motion)
+    hd = np.repeat(np.repeat(np.asarray(out.half_dist), 2, 0), 2, 1)
+    sky = (depth == 1.0) & (hd > 200.0)
+    assert np.abs(mv[sky]).max() < 1e-5
+
+
 def test_min_dist_upsample_conservative():
     rng = np.random.default_rng(0)
     half = jnp.asarray(rng.uniform(0, 100, (8, 10)).astype(np.float32))
