@@ -360,13 +360,26 @@ def config_stage4() -> EngineConfig:
 
 
 def config_stage5() -> EngineConfig:
-    """2048^3 streaming world, low-res primary + learned upscale to 4K."""
+    """2048^3 streaming world, low-res primary + temporal upscale to 4K.
+
+    The perf-first tier: carries the TPU-tuned cadence the bench headline
+    runs (PERF.md round-2 session-2) - SDF-marched soft shadows at stride
+    2 (25x cheaper than the hard-shadow trace; BASELINE config-4's shadow
+    model), 6 DDA substeps per brick gather (bit-exact), SDF probe every
+    16 steps + 4-voxel start bias (delta 1/1M hit flags + 274/1M normals
+    vs reference cadence), stride-8 cone sites.  Stages 1-4 keep the
+    reference cadence.
+    """
     return EngineConfig(
         world=WorldConfig().with_cube(11),
         render=dataclasses.replace(
             RenderConfig(), width=1280, height=800,
             display_width=3840, display_height=2400,
+            dda_substeps=6, sdf_probe_interval=16, dist_bias=4.0,
+            gi_res_divisor=8,
         ),
+        lighting=dataclasses.replace(LightingConfig(), soft_shadows=True,
+                                     soft_shadow_stride=2),
     )
 
 

@@ -159,9 +159,19 @@ def extend_sdf_far(sdf: jax.Array, coarse_solid: jax.Array,
     if not F or F <= c:
         return sdf
     f = F // c
-    sz, sy, sx = cfg.sdf_size_z, cfg.sdf_size_y, cfg.sdf_size_x
-    occ = coarse_solid.reshape(sz // f, f, sy // f, f, sx // f, f) \
-        .any(axis=(1, 3, 5))
+    # OR-reduce f^3 blocks via strided slices, axis by axis - NOT an
+    # interior (..., f, ..., f) reshape: size-f minor dims pad to the
+    # (8, 128) TPU tile, a 32x blowup that OOMs at the 2048^3 world
+    # (pred[256,4,256,4,256,4] = 34 GB requested on a 16 GB chip)
+    occ = coarse_solid
+    for axis in (0, 1, 2):
+        acc = None
+        for k in range(f):
+            sl = [slice(None)] * 3
+            sl[axis] = slice(k, None, f)
+            part = occ[tuple(sl)]
+            acc = part if acc is None else (acc | part)
+        occ = acc
     # values saturating d' at 255 need v <= (255*c + 1)/F + 2.75; a tight
     # cap keeps the min-conv window small
     cap = min(255, (255 * c + 1) // F + 3)
