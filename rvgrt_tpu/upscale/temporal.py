@@ -311,6 +311,127 @@ def _current_weight(jitter_ndc: jnp.ndarray, height: int, width: int,
     return full
 
 
+def pack_state(state: TemporalState) -> jnp.ndarray:
+    """(H, W) uint32 RGBN - the wire/replication format of the temporal
+    state.  Lossless for the accumulator: the per-frame warp reads the
+    history THROUGH this quantization anyway (``_warp_state`` packs
+    before gathering), so carrying the packed word between frames gives
+    bit-identical warps to carrying f32 history."""
+    return _pack_rgbn(state.history, state.conf)
+
+
+def temporal_upscale_slab(color_halo: jnp.ndarray, motion: jnp.ndarray,
+                          jitter_ndc: jnp.ndarray, packed_full: jnp.ndarray,
+                          lo0, n_lo: int, *,
+                          sigma: float = 0.9, w_min: float = 0.08,
+                          motion_decay: float = 0.35,
+                          gamma_static: float = 1.5,
+                          gamma_moving: float = 0.6,
+                          beta_static: float = 8.0,
+                          beta_moving: float = 40.0,
+                          adapt_rate: float = 8.0):
+    """One display-row slab of ``temporal_upscale`` (the multi-chip unit).
+
+    ``color_halo``: low-res rows [lo0-1, lo0+n_lo+2) of the frame,
+    edge-clamp pre-padded by the caller (3 halo rows absorb the phase
+    filter's y shifts and the 3x3 rectification box exactly).  ``motion``:
+    the n_lo interior low-res rows.  ``packed_full``: the full previous
+    packed state (replicated - the history warp gathers along arbitrary
+    motion).  ``lo0``: this slab's first interior low-res row (traced
+    scalar).  Returns ``(out_slab, packed_slab)`` for display rows
+    [3*lo0, 3*(lo0+n_lo)); assembling the packed slabs yields the next
+    ``packed_full``.  Bit-identical to the full-frame path modulo float
+    op order (gated in tests/test_sharding.py).
+    """
+    hh, hw = packed_full.shape
+    w = color_halo.shape[1]
+    slab_h = SCALE * n_lo
+    h_full = hh // SCALE
+
+    # --- current frame: jitter upsample on the halo'd slab ---
+    # jitter_upsample converts NDC jitter to pixels with ITS input's
+    # height; rescale the y component so the slab sees the full-frame
+    # pixel offset
+    j_slab = jnp.stack([jitter_ndc[0],
+                        jitter_ndc[1] * _F32(h_full / color_halo.shape[0])])
+    cur_halo = jitter_upsample(color_halo, j_slab)  # (3, 3*(n_lo+3), W)
+    cur = cur_halo[:, SCALE:SCALE + slab_h]
+
+    # --- warp the replicated packed history into this slab (+1-row halo
+    # for the bilinear_shift output-space y shift) ---
+    y0_d = jnp.asarray(lo0, _F32) * _F32(SCALE)
+    mvx = jnp.repeat(jnp.repeat(motion[..., 0], SCALE, 0), SCALE, 1)
+    mvy = jnp.repeat(jnp.repeat(motion[..., 1], SCALE, 0), SCALE, 1)
+    mvx = jnp.concatenate([mvx, mvx[-1:]], axis=0)
+    mvy = jnp.concatenate([mvy, mvy[-1:]], axis=0)
+    gy = y0_d + jnp.arange(slab_h + 1, dtype=_F32)[:, None]
+    gy = jnp.minimum(gy, _F32(hh - 1))
+    xs = jnp.arange(hw, dtype=_F32)[None, :] - mvx * _F32(0.5 * hw)
+    ys = gy - mvy * _F32(0.5 * hh)
+    inside = ((xs >= 0.0) & (xs <= hw - 1.0)
+              & (ys >= 0.0) & (ys <= hh - 1.0)).astype(_F32)
+    mpx_w = jnp.sqrt((mvx * _F32(0.5 * hw)) ** 2
+                     + (mvy * _F32(0.5 * hh)) ** 2)
+    inside = inside * jnp.exp(-mpx_w * _F32(motion_decay))
+    x = jnp.clip(xs, 0.0, hw - 1.0)
+    y = jnp.clip(ys, 0.0, hh - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0i = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[None]
+    fy = (y - y0i)[None]
+    rgb00, n00 = _unpack_rgbn_cf(packed_full[y0i, x0])
+    v00 = jnp.concatenate([rgb00, n00[None]], axis=0)
+    v01 = _shift_cf(v00, 1, axis=2)
+    v10 = v00[:, 1:]
+    v11 = v01[:, 1:]
+    v00i = v00[:, :-1]
+    v01i = v01[:, :-1]
+    fx_i = fx[:, :-1]
+    fy_i = fy[:, :-1]
+    v = ((1 - fx_i) * (1 - fy_i) * v00i + fx_i * (1 - fy_i) * v01i
+         + (1 - fx_i) * fy_i * v10 + fx_i * fy_i * v11)
+    hist, n_prev = v[:3], v[3] * inside[:-1]
+
+    # --- motion-adaptive rectification on the interior slab ---
+    mpx = jnp.sqrt((motion[..., 0] * _F32(0.5 * hw)) ** 2
+                   + (motion[..., 1] * _F32(0.5 * hh)) ** 2)
+    # 3x3 max dilation needs a 1-row halo; motion has none - approximate
+    # the top/bottom halo rows by edge clamp (identical to the full-frame
+    # path except at interior slab seams, where a 1-row dilation
+    # difference only widens/narrows the "moving" band by one row)
+    m = mpx[None]
+    for ax in (1, 2):
+        m = jnp.maximum(m, jnp.maximum(_shift_cf(m, 1, axis=ax),
+                                       _shift_cf(m, -1, axis=ax)))
+    a = 1.0 - jnp.exp(-m[0] * _F32(adapt_rate))
+    gamma = _F32(gamma_static) + _F32(gamma_moving - gamma_static) * a
+    beta = jnp.repeat(jnp.repeat(
+        _F32(beta_static) + _F32(beta_moving - beta_static) * a,
+        SCALE, 0), SCALE, 1)
+
+    mn_h, mx_h = _neighborhood_box(
+        color_halo[:n_lo + 2],  # rows lo0-1 .. lo0+n_lo (1-row halo each side)
+        jnp.pad(gamma, ((1, 1), (0, 0)), mode="edge"))
+    mn = mn_h[:, SCALE:SCALE + slab_h]
+    mx = mx_h[:, SCALE:SCALE + slab_h]
+
+    clamped = jnp.clip(hist, mn - _F32(0.01), mx + _F32(0.01))
+    clamp_dist = jnp.mean(jnp.abs(hist - clamped), axis=0)
+    n_w = n_prev * jnp.exp(-clamp_dist * beta)
+
+    # the weight pattern is (SCALE, SCALE)-periodic and this slab starts
+    # at display row SCALE*lo0 (phase 0), so slab-local tiling == global;
+    # the axis pixel offsets use the FULL frame dims
+    w_cur = _current_weight(jitter_ndc, n_lo * 0 + h_full, w, sigma,
+                            w_min)[:slab_h]
+    den = n_w + w_cur
+    out_cf = (n_w[None] * clamped + w_cur[None] * cur) / den[None]
+    out_cf = jnp.clip(out_cf, 0.0, 1.0)
+    n_new = jnp.minimum(den, _F32(_CONF_MAX))
+    out = out_cf.transpose(1, 2, 0)
+    return out, _pack_rgbn(out, n_new)
+
+
 def temporal_upscale(color: jnp.ndarray, motion: jnp.ndarray,
                      depth: jnp.ndarray, jitter_ndc: jnp.ndarray,
                      state: TemporalState, *,

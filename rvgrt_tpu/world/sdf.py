@@ -180,8 +180,12 @@ def extend_sdf_far(sdf: jax.Array, coarse_solid: jax.Array,
     v = _minconv_pass(dist_xy, axis=0, cap=cap).astype(_I32)
     # integer form of floor((F*(v - 1.75) - 1) / c)
     dp = jnp.clip((F * (4 * v - 7) - 4) // (4 * c), 0, 255)
-    dp = jnp.repeat(jnp.repeat(jnp.repeat(dp.astype(jnp.uint8), f, 0),
-                               f, 1), f, 2)
+    dp = jnp.repeat(jnp.repeat(dp.astype(jnp.uint8), f, 0), f, 1)
+    # the x (minor-axis) expansion via transpose so the repeat runs on a
+    # MAJOR axis: repeating the minor dim broadcasts through a
+    # tile-padded (..., n, f) intermediate (u8[1024,1024,256,4] = 34 GB
+    # requested at the 2048^3 world)
+    dp = jnp.repeat(dp.transpose(2, 0, 1), f, axis=0).transpose(1, 2, 0)
     return jnp.maximum(sdf, dp.reshape(-1))
 
 
