@@ -84,10 +84,8 @@ def build_world(ecfg: EngineConfig, verbose: bool = True,
         sky_y.block_until_ready()
     if init_gi:
         with Timer("initializing GI", verbose):
-            gi = jax.jit(gi_update.init_gi,
-                         static_argnames=("ecfg",))(bits, sdf, ecfg,
-                                                    sky_y=sky_y,
-                                                    table=table)
+            gi = gi_update.init_gi_chunked(bits, sdf, ecfg, sky_y=sky_y,
+                                           table=table)
             gi.block_until_ready()
     else:
         gi = gi_grid.zeros(cfg)

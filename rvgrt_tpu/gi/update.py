@@ -79,13 +79,17 @@ def random_sphere_dirs(seed, attempts: int = 8):
 
 
 def init_gi(bits, sdf, ecfg: EngineConfig, sky_y=None,
-            table=None) -> jax.Array:
+            table=None, offset: int = 0, count: int | None = None) -> jax.Array:
     """One sun-shadow ray per cell: sunlit cells start at sun color
-    (InitialGlobalIlluminate, CoarseArray.cu:211-245)."""
+    (InitialGlobalIlluminate, CoarseArray.cu:211-245).  ``offset``/``count``
+    (static) select a cell slice - init_gi_chunked runs the full grid in
+    bounded pieces (134M cells at the 2048^3 world need ~14 GB of SoA ray
+    buffers in one program, which faults the 16 GB chip)."""
     cfg, lcfg = ecfg.world, ecfg.lighting
-    idx = jnp.arange(cfg.gi_num_cells, dtype=jnp.int32)
+    count = cfg.gi_num_cells if count is None else count
+    idx = offset + jnp.arange(count, dtype=jnp.int32)
     # 2-D ray batch so the tracer's tile retirement applies
-    idx = idx.reshape(-1, min(cfg.gi_num_cells, 4096))
+    idx = idx.reshape(-1, min(count, 4096))
     wx, wy, wz = gi_grid.cell_world_centers(cfg, idx)
     sun = lcfg.sun_dir
     res = wavefront.trace(bits, sdf, cfg, ecfg.render, wx, wy, wz,
@@ -99,6 +103,23 @@ def init_gi(bits, sdf, ecfg: EngineConfig, sky_y=None,
     g = jnp.where(lit, _F32(lcfg.sun_color[1]), 0.0)
     b = jnp.where(lit, _F32(lcfg.sun_color[2]), 0.0)
     return gi_grid.pack_rgba8(r, g, b).reshape(-1)
+
+
+def init_gi_chunked(bits, sdf, ecfg: EngineConfig, sky_y=None, table=None,
+                    chunk: int = 1 << 24) -> jax.Array:
+    """Full-grid GI init in bounded slices (one jit, called per slice)."""
+    import functools as _ft
+
+    cells = ecfg.world.gi_num_cells
+    if cells <= chunk:
+        return jax.jit(init_gi, static_argnames=("ecfg",))(
+            bits, sdf, ecfg, sky_y=sky_y, table=table)
+    assert cells % chunk == 0, (cells, chunk)
+    inner = jax.jit(_ft.partial(init_gi, ecfg=ecfg, count=chunk))
+    parts = [inner(bits, sdf, sky_y=sky_y, table=table,
+                   offset=jnp.int32(off))  # traced: one compile, 8 calls
+             for off in range(0, cells, chunk)]
+    return jnp.concatenate(parts)
 
 
 def update_gi(gi: jax.Array, bits, sdf, atlas, ecfg: EngineConfig,

@@ -140,3 +140,55 @@ def replicate(mesh: Mesh, *arrays):
     """Place arrays replicated on every device of the mesh."""
     sh = NamedSharding(mesh, P())
     return tuple(jax.device_put(a, sh) for a in arrays)
+
+
+@functools.lru_cache(maxsize=None)
+def _temporal_sharded_jit(h: int, w: int, mesh: Mesh):
+    """Cached jitted shard_map for the temporal upscaler at one shape."""
+    from rvgrt_tpu.upscale import temporal
+
+    n = mesh.shape["rays"]
+    assert h % n == 0, (h, n)
+    n_lo = h // n
+
+    def shard_fn(cpad, mpad, jit_ndc, packed):
+        idx = jax.lax.axis_index("rays")
+        lo0 = (idx * n_lo).astype(jnp.int32)
+        ch = jax.lax.dynamic_slice_in_dim(cpad, lo0, n_lo + 3, axis=0)
+        mh = jax.lax.dynamic_slice_in_dim(mpad, lo0, n_lo + 2, axis=0)
+        return temporal.temporal_upscale_slab(ch, mh, jit_ndc, packed,
+                                              lo0, n_lo)
+
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(), P(), P(), P()),
+                   out_specs=(P("rays"), P("rays")))
+
+    def apply(color, motion, jit_ndc, packed):
+        # edge-clamp halos once at full-frame level; each shard slices its
+        # own halo'd window (the inputs are replicated - 12 MB at the
+        # operating point; the display-res work is what shards)
+        cpad = jnp.pad(color, ((1, 2), (0, 0), (0, 0)), mode="edge")
+        mpad = jnp.pad(motion, ((1, 1), (0, 0), (0, 0)), mode="edge")
+        return fn(cpad, mpad, jit_ndc, packed)
+
+    return jax.jit(apply)
+
+
+def temporal_upscale_sharded(color, motion, jitter_ndc, packed, mesh: Mesh):
+    """Temporal 3x super-resolution with DISPLAY rows sharded over the mesh.
+
+    The accumulator's state travels as the packed (H, W) uint32 word
+    (``temporal.pack_state`` - bit-identical to the f32 state, which the
+    per-frame warp quantizes through anyway): each device warps its
+    display-row slab from the replicated packed history and emits its
+    packed slab; the next frame's replication is one all-gather over ICI
+    (~37 MB at 3840x2400).  Completes the multi-chip frame: render slabs
+    (render_frame_sharded) + GI window shards (update_gi_sharded) +
+    display-res upscale all scale with the mesh.
+
+    Returns ``(out, packed_next)`` with leading (display-row) axes
+    sharded; feed ``packed_next`` back as ``packed`` (the resharding to
+    replicated is inserted automatically under jit).
+    """
+    h, w = color.shape[0], color.shape[1]
+    return _temporal_sharded_jit(h, w, mesh)(color, motion, jitter_ndc,
+                                             packed)

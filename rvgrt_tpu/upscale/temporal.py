@@ -320,7 +320,8 @@ def pack_state(state: TemporalState) -> jnp.ndarray:
     return _pack_rgbn(state.history, state.conf)
 
 
-def temporal_upscale_slab(color_halo: jnp.ndarray, motion: jnp.ndarray,
+def temporal_upscale_slab(color_halo: jnp.ndarray,
+                          motion_halo: jnp.ndarray,
                           jitter_ndc: jnp.ndarray, packed_full: jnp.ndarray,
                           lo0, n_lo: int, *,
                           sigma: float = 0.9, w_min: float = 0.08,
@@ -332,16 +333,18 @@ def temporal_upscale_slab(color_halo: jnp.ndarray, motion: jnp.ndarray,
                           adapt_rate: float = 8.0):
     """One display-row slab of ``temporal_upscale`` (the multi-chip unit).
 
-    ``color_halo``: low-res rows [lo0-1, lo0+n_lo+2) of the frame,
-    edge-clamp pre-padded by the caller (3 halo rows absorb the phase
-    filter's y shifts and the 3x3 rectification box exactly).  ``motion``:
-    the n_lo interior low-res rows.  ``packed_full``: the full previous
-    packed state (replicated - the history warp gathers along arbitrary
-    motion).  ``lo0``: this slab's first interior low-res row (traced
-    scalar).  Returns ``(out_slab, packed_slab)`` for display rows
-    [3*lo0, 3*(lo0+n_lo)); assembling the packed slabs yields the next
-    ``packed_full``.  Bit-identical to the full-frame path modulo float
-    op order (gated in tests/test_sharding.py).
+    ``color_halo``: low-res rows [lo0-1, lo0+n_lo+2) of the frame (n_lo+3
+    rows), edge-clamp pre-padded by the caller - the halo absorbs the
+    phase filter's y shifts and the 3x3 rectification box exactly.
+    ``motion_halo``: rows [lo0-1, lo0+n_lo+1) (n_lo+2 rows, edge-clamped):
+    the bottom halo row feeds the warp's +1-row output-space shift at the
+    slab seam and both halo rows feed the motion-magnitude dilation.
+    ``packed_full``: the full previous packed state (replicated - the
+    history warp gathers along arbitrary motion).  ``lo0``: this slab's
+    first interior low-res row (traced scalar).  Returns ``(out_slab,
+    packed_slab)`` for display rows [3*lo0, 3*(lo0+n_lo)); assembling the
+    packed slabs yields the next ``packed_full``.  Matches the full-frame
+    path exactly for interior rows (gated in tests/test_sharding.py).
     """
     hh, hw = packed_full.shape
     w = color_halo.shape[1]
@@ -360,10 +363,11 @@ def temporal_upscale_slab(color_halo: jnp.ndarray, motion: jnp.ndarray,
     # --- warp the replicated packed history into this slab (+1-row halo
     # for the bilinear_shift output-space y shift) ---
     y0_d = jnp.asarray(lo0, _F32) * _F32(SCALE)
-    mvx = jnp.repeat(jnp.repeat(motion[..., 0], SCALE, 0), SCALE, 1)
-    mvy = jnp.repeat(jnp.repeat(motion[..., 1], SCALE, 0), SCALE, 1)
-    mvx = jnp.concatenate([mvx, mvx[-1:]], axis=0)
-    mvy = jnp.concatenate([mvy, mvy[-1:]], axis=0)
+    mv_w = motion_halo[1:]  # rows lo0 .. lo0+n_lo (n_lo+1)
+    mvx = jnp.repeat(jnp.repeat(mv_w[..., 0], SCALE, 0), SCALE, 1)
+    mvx = mvx[:slab_h + 1]
+    mvy = jnp.repeat(jnp.repeat(mv_w[..., 1], SCALE, 0), SCALE, 1)
+    mvy = mvy[:slab_h + 1]
     gy = y0_d + jnp.arange(slab_h + 1, dtype=_F32)[:, None]
     gy = jnp.minimum(gy, _F32(hh - 1))
     xs = jnp.arange(hw, dtype=_F32)[None, :] - mvx * _F32(0.5 * hw)
@@ -392,26 +396,21 @@ def temporal_upscale_slab(color_halo: jnp.ndarray, motion: jnp.ndarray,
          + (1 - fx_i) * fy_i * v10 + fx_i * fy_i * v11)
     hist, n_prev = v[:3], v[3] * inside[:-1]
 
-    # --- motion-adaptive rectification on the interior slab ---
-    mpx = jnp.sqrt((motion[..., 0] * _F32(0.5 * hw)) ** 2
-                   + (motion[..., 1] * _F32(0.5 * hh)) ** 2)
-    # 3x3 max dilation needs a 1-row halo; motion has none - approximate
-    # the top/bottom halo rows by edge clamp (identical to the full-frame
-    # path except at interior slab seams, where a 1-row dilation
-    # difference only widens/narrows the "moving" band by one row)
+    # --- motion-adaptive rectification (dilated over the true halo) ---
+    mpx = jnp.sqrt((motion_halo[..., 0] * _F32(0.5 * hw)) ** 2
+                   + (motion_halo[..., 1] * _F32(0.5 * hh)) ** 2)
     m = mpx[None]
     for ax in (1, 2):
         m = jnp.maximum(m, jnp.maximum(_shift_cf(m, 1, axis=ax),
                                        _shift_cf(m, -1, axis=ax)))
-    a = 1.0 - jnp.exp(-m[0] * _F32(adapt_rate))
-    gamma = _F32(gamma_static) + _F32(gamma_moving - gamma_static) * a
+    a_h = 1.0 - jnp.exp(-m[0] * _F32(adapt_rate))  # rows lo0-1..lo0+n_lo
+    g_h = _F32(gamma_static) + _F32(gamma_moving - gamma_static) * a_h
+    a_int = a_h[1:1 + n_lo]
     beta = jnp.repeat(jnp.repeat(
-        _F32(beta_static) + _F32(beta_moving - beta_static) * a,
+        _F32(beta_static) + _F32(beta_moving - beta_static) * a_int,
         SCALE, 0), SCALE, 1)
 
-    mn_h, mx_h = _neighborhood_box(
-        color_halo[:n_lo + 2],  # rows lo0-1 .. lo0+n_lo (1-row halo each side)
-        jnp.pad(gamma, ((1, 1), (0, 0)), mode="edge"))
+    mn_h, mx_h = _neighborhood_box(color_halo[:n_lo + 2], g_h)
     mn = mn_h[:, SCALE:SCALE + slab_h]
     mx = mx_h[:, SCALE:SCALE + slab_h]
 
@@ -422,8 +421,7 @@ def temporal_upscale_slab(color_halo: jnp.ndarray, motion: jnp.ndarray,
     # the weight pattern is (SCALE, SCALE)-periodic and this slab starts
     # at display row SCALE*lo0 (phase 0), so slab-local tiling == global;
     # the axis pixel offsets use the FULL frame dims
-    w_cur = _current_weight(jitter_ndc, n_lo * 0 + h_full, w, sigma,
-                            w_min)[:slab_h]
+    w_cur = _current_weight(jitter_ndc, h_full, w, sigma, w_min)[:slab_h]
     den = n_w + w_cur
     out_cf = (n_w[None] * clamped + w_cur[None] * cur) / den[None]
     out_cf = jnp.clip(out_cf, 0.0, 1.0)

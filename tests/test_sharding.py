@@ -88,6 +88,43 @@ def test_render_frame_sharded_matches_single_device(world64):
         assert ok.mean() > 0.99, (name, ok.mean())
 
 
+def test_temporal_upscale_sharded_matches_single_device():
+    """Display-row-sharded temporal upscale == full-frame accumulator, two
+    closed-loop frames on the 8-virtual-CPU mesh (the packed state is the
+    wire format both paths quantize through, so agreement is float-op
+    order only)."""
+    from rvgrt_tpu.upscale import temporal
+
+    rng = np.random.default_rng(7)
+    h, w = 32, 40
+    mesh = sharding.make_mesh(8)
+
+    state = temporal.TemporalState(
+        history=jnp.asarray(rng.random((3 * h, 3 * w, 3)), jnp.float32),
+        conf=jnp.asarray(rng.random((3 * h, 3 * w)) * 8, jnp.float32))
+    packed = temporal.pack_state(state)
+    packed_sh = packed
+    for i in range(2):
+        color = jnp.asarray(rng.random((h, w, 3)), jnp.float32)
+        motion = jnp.asarray(rng.normal(0, 0.02, (h, w, 2)), jnp.float32)
+        depth = jnp.ones((h, w), jnp.float32)
+        jit = jnp.asarray([(0.3 - i) / w, (0.2 * i - 0.4) / h], jnp.float32)
+
+        out_full, state = temporal.temporal_upscale(color, motion, depth,
+                                                    jit, state)
+        out_sh, packed_sh = sharding.temporal_upscale_sharded(
+            color, motion, jit, packed_sh, mesh)
+
+        a = np.asarray(out_full)
+        b = np.asarray(out_sh)
+        assert b.shape == a.shape
+        assert np.abs(a - b).max() < 1e-5, np.abs(a - b).max()
+        # the packed states stay bit-identical (both paths quantize the
+        # SAME f32 output), so the loops cannot drift apart
+        assert (np.asarray(packed_sh)
+                == np.asarray(temporal.pack_state(state))).all()
+
+
 def test_update_gi_sharded_matches_single_device(world64):
     cfg, bits, sdf, atlas = world64
     # window + offset must respect the advance_offset contract (no wrap:
