@@ -313,6 +313,16 @@ class EngineConfig:
     # full-sweep period in frames for the derived window (reference: 512)
     gi_sweep_frames: int = 512
 
+    # straggler respite for the GI update's rays (wavefront two-phase,
+    # RenderConfig.straggler_budget semantics, applied to the GI traces
+    # only).  Random-direction bounce rays are the engine's most
+    # tile-divergent population - exactly the heavy tail the two-phase
+    # machinery was kept for: measured 689 -> 334 ms per 262K-cell window
+    # at 2048^3 (PERF.md).  Camera rays keep their own (default-off)
+    # knob: the same mechanism measured NEGATIVE there.  Hit flags match
+    # single-phase exactly; positions/UVs to fp tolerance.  0 disables.
+    gi_straggler_budget: int = 12
+
     @property
     def gi_window(self) -> int:
         """Resolved GI cells-per-frame window."""

@@ -23,6 +23,8 @@ TPU-isms vs the reference:
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -86,13 +88,17 @@ def init_gi(bits, sdf, ecfg: EngineConfig, sky_y=None,
     bounded pieces (134M cells at the 2048^3 world need ~14 GB of SoA ray
     buffers in one program, which faults the 16 GB chip)."""
     cfg, lcfg = ecfg.world, ecfg.lighting
+    rcfg = ecfg.render
+    if ecfg.gi_straggler_budget > 0:
+        rcfg = dataclasses.replace(rcfg,
+                                   straggler_budget=ecfg.gi_straggler_budget)
     count = cfg.gi_num_cells if count is None else count
     idx = offset + jnp.arange(count, dtype=jnp.int32)
     # 2-D ray batch so the tracer's tile retirement applies
     idx = idx.reshape(-1, min(count, 4096))
     wx, wy, wz = gi_grid.cell_world_centers(cfg, idx)
     sun = lcfg.sun_dir
-    res = wavefront.trace(bits, sdf, cfg, ecfg.render, wx, wy, wz,
+    res = wavefront.trace(bits, sdf, cfg, rcfg, wx, wy, wz,
                           jnp.full_like(wx, sun[0]),
                           jnp.full_like(wx, sun[1]),
                           jnp.full_like(wx, sun[2]),
@@ -128,6 +134,11 @@ def update_gi(gi: jax.Array, bits, sdf, atlas, ecfg: EngineConfig,
     """One progressive sweep slice: update ``gi_rays_per_frame`` cells
     starting at ``offset`` (GlobalIlluminate, CoarseArray.cu:273-355)."""
     cfg, lcfg, rcfg = ecfg.world, ecfg.lighting, ecfg.render
+    if ecfg.gi_straggler_budget > 0:
+        # two-phase straggler respite for the GI traces (config.py
+        # gi_straggler_budget): 2.1x on the bounce-ray-dominated window
+        rcfg = dataclasses.replace(rcfg,
+                                   straggler_budget=ecfg.gi_straggler_budget)
     n = ecfg.gi_window
     if table is None:
         table = wavefront.make_trace_table(bits, sdf, cfg)
