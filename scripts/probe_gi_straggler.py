@@ -69,11 +69,39 @@ def main():
         print(f"{name:52s} {med:9.1f} ms  (min {min(ts):.1f})", flush=True)
         return r
 
+    # measured bound for straggler_cap_frac: fraction of bounce rays still
+    # marching after the phase-1 budget, across several window offsets
+    import numpy as np
+
+    from rvgrt_tpu.trace import wavefront
+    from rvgrt_tpu.world import gi_grid
+
+    rc1 = dataclasses.replace(ecfg.render, max_supersteps=12)
+
+    def unfinished_frac(off):
+        n = ecfg.gi_window
+        idx = jnp.int32(off) + jnp.arange(n, dtype=jnp.int32)
+        idx = idx.reshape(-1, 4096)
+        wx, wy, wz = gi_grid.cell_world_centers(ecfg.world, idx)
+        seed = idx.astype(jnp.uint32) + jnp.uint32(7) * jnp.uint32(198491317)
+        bdx, bdy, bdz = gi_update.random_sphere_dirs(seed)
+        r = wavefront.trace(None, None, ecfg.world, rc1, wx, wy, wz,
+                            bdx, bdy, bdz, jnp.full_like(wx, 0.001),
+                            table=world.trace_table, sky_y=world.sky_y,
+                            _return_resume=True)
+        return jnp.mean((r.exit_dir >= 2).astype(jnp.float32))
+
+    uf = jax.jit(unfinished_frac)
+    fracs = [float(uf(o * ecfg.gi_window)) for o in range(6)]
+    print(f"bounce-ray unfinished fraction after 12 supersteps: "
+          f"max {max(fracs):.4f} mean {np.mean(fracs):.4f} "
+          f"(cap must exceed ~2.5x the max)", flush=True)
+
     for budget, cap in ((0, 0.25), (12, 0.25), (20, 0.25), (12, 0.15)):
         ec = dataclasses.replace(
-            ecfg, render=dataclasses.replace(
-                ecfg.render, straggler_budget=budget,
-                straggler_cap_frac=cap))
+            ecfg, gi_straggler_budget=budget,
+            render=dataclasses.replace(ecfg.render,
+                                       straggler_cap_frac=cap))
         gi_j = jax.jit(lambda g, b, s, a, tb, sy, fr, off, ec=ec:
                        gi_update.update_gi(g, b, s, a, ec, fr, off,
                                            sky_y=sy, table=tb))

@@ -78,6 +78,20 @@ def test_gi_update_window_and_determinism(small_ecfg, small_world):
     np.testing.assert_array_equal(a0[n:], a1[n:])
 
 
+def test_init_gi_chunked_matches_unchunked(small_ecfg, small_world):
+    """The bounded-slice GI init (2048^3 OOM fix) is a pure partition of
+    the full-grid init: identical packed radiance."""
+    w = small_world
+    full = gi_update.init_gi(w.bits, w.sdf, small_ecfg, sky_y=w.sky_y,
+                             table=w.trace_table)
+    cells = small_ecfg.world.gi_num_cells
+    chunk = max(cells // 4, 1)
+    chunked = gi_update.init_gi_chunked(w.bits, w.sdf, small_ecfg,
+                                        sky_y=w.sky_y, table=w.trace_table,
+                                        chunk=chunk)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(chunked))
+
+
 def test_gi_offset_advances_and_wraps(small_ecfg):
     n = min(small_ecfg.gi_rays_per_frame, small_ecfg.world.gi_num_cells)
     off = 0
