@@ -78,21 +78,23 @@ def main():
 
     rc1 = dataclasses.replace(ecfg.render, max_supersteps=12)
 
-    def unfinished_frac(off):
+    def unfinished_frac(tb, sy, off):
+        # NB: tb/sy are jit ARGS - closing over the 2.3 GB table overflows
+        # the remote-compile request (HTTP 413)
         n = ecfg.gi_window
-        idx = jnp.int32(off) + jnp.arange(n, dtype=jnp.int32)
+        idx = off + jnp.arange(n, dtype=jnp.int32)
         idx = idx.reshape(-1, 4096)
         wx, wy, wz = gi_grid.cell_world_centers(ecfg.world, idx)
         seed = idx.astype(jnp.uint32) + jnp.uint32(7) * jnp.uint32(198491317)
         bdx, bdy, bdz = gi_update.random_sphere_dirs(seed)
         r = wavefront.trace(None, None, ecfg.world, rc1, wx, wy, wz,
                             bdx, bdy, bdz, jnp.full_like(wx, 0.001),
-                            table=world.trace_table, sky_y=world.sky_y,
-                            _return_resume=True)
+                            table=tb, sky_y=sy, _return_resume=True)
         return jnp.mean((r.exit_dir >= 2).astype(jnp.float32))
 
     uf = jax.jit(unfinished_frac)
-    fracs = [float(uf(o * ecfg.gi_window)) for o in range(6)]
+    fracs = [float(uf(world.trace_table, world.sky_y,
+                      jnp.int32(o * ecfg.gi_window))) for o in range(6)]
     print(f"bounce-ray unfinished fraction after 12 supersteps: "
           f"max {max(fracs):.4f} mean {np.mean(fracs):.4f} "
           f"(cap must exceed ~2.5x the max)", flush=True)
