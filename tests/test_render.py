@@ -119,6 +119,54 @@ def test_sky_motion_is_point_at_infinity(engine):
     assert np.abs(mv[sky]).max() < 1e-5
 
 
+def test_fast_trace_cadence_image_gate():
+    """The bench/stage-5 tracer cadence (6 DDA substeps, SDF probe every
+    16 steps, 4-voxel start bias - PERF.md cadence sweep) must stay a
+    near-invisible deviation from the reference cadence: >= 45 dB image
+    PSNR and < 0.2% of pixels off by more than 2/255.
+
+    Uses a cube-7 world with the camera well inside it: at the cube-6
+    fixture the camera sits at the world-top clamp, where bias-8 rays
+    back OUT of the grid and miss on purpose (the documented reference
+    behavior at world edges) while bias-4 rays hit - a world-BOUNDARY
+    difference, not a cadence quality signal (24.5 dB there vs 49 dB
+    here; production scale measures 1/1M hit flags, PERF.md)."""
+    from rvgrt_tpu.driver.engine import build_world, camera_arrays
+    from rvgrt_tpu.render.pipeline import render_frame
+    from rvgrt_tpu.scene.camera import Camera
+
+    ecfg = EngineConfig(
+        world=WorldConfig().with_cube(7),
+        render=dataclasses.replace(RenderConfig(), width=192, height=120))
+    w = build_world(ecfg, verbose=False, init_gi=True)
+    fwd = np.array([math.cos(0.5) * 0.87, -0.5, math.sin(0.5) * 0.87],
+                   np.float32)
+    fwd /= np.linalg.norm(fwd)
+    wup = np.array([0, 1, 0], np.float32)
+    right = np.cross(fwd, wup)
+    right /= np.linalg.norm(right)
+    up = np.cross(fwd, right)
+    cam = camera_arrays(Camera(
+        pos=np.array([64.0, 85.0, 64.0], np.float32), forward=fwd,
+        right=right.astype(np.float32),
+        up=(up / np.linalg.norm(up)).astype(np.float32)))
+
+    def frame(rc):
+        ec = dataclasses.replace(ecfg, render=rc)
+        return np.asarray(render_frame(
+            w.bits, w.sdf, w.gi, w.atlas, cam, ec, include_gi=True,
+            sky_y=w.sky_y, table=w.trace_table).color)
+
+    ref = frame(ecfg.render)
+    fast = frame(dataclasses.replace(ecfg.render, dda_substeps=6,
+                                     sdf_probe_interval=16, dist_bias=4.0))
+    mse = float(np.mean((ref - fast) ** 2))
+    psnr = 99.0 if mse == 0 else 10.0 * math.log10(1.0 / mse)
+    frac = float((np.abs(ref - fast).max(axis=-1) > 2.0 / 255.0).mean())
+    assert psnr > 45.0, (psnr, frac)
+    assert frac < 0.002, (psnr, frac)
+
+
 def test_min_dist_upsample_conservative():
     rng = np.random.default_rng(0)
     half = jnp.asarray(rng.uniform(0, 100, (8, 10)).astype(np.float32))
