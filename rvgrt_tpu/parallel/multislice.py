@@ -120,6 +120,51 @@ def render_frame_multislice(bits, sdf, gi, atlas, cam: CameraArrays,
 
 
 @functools.lru_cache(maxsize=None)
+def _temporal_multislice_jit(h: int, w: int, mesh: Mesh):
+    """Temporal upscale with display rows banded over BOTH mesh axes.
+
+    Same slab kernel as ``sharding.temporal_upscale_sharded``; the packed
+    RGBN history is the assembled-image-class artifact, so its per-frame
+    replication is the same traffic the image assembly already sends over
+    DCN (one ~37 MB all-gather at 3840x2400)."""
+    from rvgrt_tpu.upscale import temporal
+
+    ns, nc = mesh.shape["slice"], mesh.shape["chip"]
+    n = ns * nc
+    assert h % n == 0, (h, n)
+    n_lo = h // n
+
+    def shard_fn(cpad, mpad, jit_ndc, packed):
+        si = jax.lax.axis_index("slice").astype(_I32)
+        ci = jax.lax.axis_index("chip").astype(_I32)
+        lo0 = (si * nc + ci) * n_lo
+        ch = jax.lax.dynamic_slice_in_dim(cpad, lo0, n_lo + 3, axis=0)
+        mh = jax.lax.dynamic_slice_in_dim(mpad, lo0, n_lo + 2, axis=0)
+        return temporal.temporal_upscale_slab(ch, mh, jit_ndc, packed,
+                                              lo0, n_lo)
+
+    rows = P(("slice", "chip"))
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(), P(), P(), P()),
+                   out_specs=(rows, rows))
+
+    def apply(color, motion, jit_ndc, packed):
+        cpad = jnp.pad(color, ((1, 2), (0, 0), (0, 0)), mode="edge")
+        mpad = jnp.pad(motion, ((1, 1), (0, 0), (0, 0)), mode="edge")
+        return fn(cpad, mpad, jit_ndc, packed)
+
+    return jax.jit(apply)
+
+
+def temporal_upscale_multislice(color, motion, jitter_ndc, packed,
+                                mesh: Mesh):
+    """3x temporal super-resolution over the ('slice', 'chip') mesh; see
+    ``sharding.temporal_upscale_sharded`` for the state contract."""
+    h, w = color.shape[0], color.shape[1]
+    return _temporal_multislice_jit(h, w, mesh)(color, motion, jitter_ndc,
+                                                packed)
+
+
+@functools.lru_cache(maxsize=None)
 def _render_multislice_volume_jit(ecfg: EngineConfig, mesh: Mesh,
                                   include_gi: bool, have_sky: bool,
                                   rounds: int | None,

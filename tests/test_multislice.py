@@ -130,6 +130,40 @@ def test_render_frame_multislice_volume_matches_single_device(world64,
     _gate_frame(single, shard)
 
 
+def test_temporal_upscale_multislice_matches_single_device():
+    """Display rows banded over ('slice','chip') == full-frame accumulator
+    (2 slices x 4 chips on the 8-virtual-CPU mesh)."""
+    from rvgrt_tpu.parallel import multislice
+    from rvgrt_tpu.upscale import temporal
+
+    rng = np.random.default_rng(11)
+    h, w = 32, 40
+    mesh = multislice.make_mesh2d(2, 4)
+
+    state = temporal.TemporalState(
+        history=jnp.asarray(rng.random((3 * h, 3 * w, 3)), jnp.float32),
+        conf=jnp.asarray(rng.random((3 * h, 3 * w)) * 8, jnp.float32))
+    packed = temporal.pack_state(state)
+    packed_ms = packed
+    for i in range(2):
+        color = jnp.asarray(rng.random((h, w, 3)), jnp.float32)
+        motion = jnp.asarray(rng.normal(0, 0.02, (h, w, 2)), jnp.float32)
+        depth = jnp.ones((h, w), jnp.float32)
+        jit = jnp.asarray([(0.4 - i) / w, (0.3 * i - 0.2) / h], jnp.float32)
+
+        out_full, state = temporal.temporal_upscale(color, motion, depth,
+                                                    jit, state)
+        out_ms, packed_ms = multislice.temporal_upscale_multislice(
+            color, motion, jit, packed_ms, mesh)
+
+        a = np.asarray(out_full)
+        b = np.asarray(out_ms)
+        assert b.shape == a.shape
+        assert np.abs(a - b).max() < 1e-5, np.abs(a - b).max()
+        assert (np.asarray(packed_ms)
+                == np.asarray(temporal.pack_state(state))).all()
+
+
 def test_update_gi_multislice_matches_single_device(world64, mesh2x4):
     cfg, bits, sdf, atlas = world64
     ecfg = EngineConfig(world=cfg, gi_rays_per_frame=1024)
