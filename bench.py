@@ -107,6 +107,10 @@ def main():
         render=rcfg,
         lighting=dataclasses.replace(LightingConfig(), soft_shadows=soft,
                                      soft_shadow_stride=2),
+        # two-phase respite on the GI bounce rays (689 -> 334 ms per
+        # window at 2048^3, PERF.md); opt-in - the EngineConfig default
+        # keeps reference cadence
+        gi_straggler_budget=12,
     )
     log(f"world {2**cube}^3, {width}x{height}, gi={include_gi}, "
         f"upscale={upscale}, soft_shadows={soft}, fast_trace={fast_trace}")
@@ -284,6 +288,22 @@ def main():
         dt = time.time() - t0
         fps = frames / dt
 
+        # straggler-cap overflow telemetry (VERDICT r2 #9): count rays
+        # that blew the two-phase cap and silently degraded to miss in a
+        # representative GI window (the only stage running the respite by
+        # default).  Expected 0 - the cap carries a 1.57x measured margin
+        overflow = -1
+        if include_gi and ec.gi_straggler_budget > 0:
+            _, st = jax.jit(
+                lambda g, b, s, a, fr, off, sky, tbl: gi_update.update_gi(
+                    g, b, s, a, ec, fr, off, sky_y=sky, table=tbl,
+                    return_stats=True))(
+                gi, world.bits, world.sdf, world.atlas, fr0,
+                off_dev[off_seq[0]], world.sky_y, world.trace_table)
+            overflow = int(st["straggler_overflow"])
+            log(f"[{label}] straggler-cap overflow (1 GI window): "
+                f"{overflow}")
+
         # ---- ray accounting (per frame, from static lane counts) ----
         w_, h_ = ec.render.width, ec.render.height
         hw, hh = w_ // 2, h_ // 2
@@ -307,11 +327,16 @@ def main():
         mrays = total_rays * fps / 1e6
         log(f"[{label}] {frames} frames in {dt:.2f}s -> {fps:.2f} FPS, "
             f"{mrays:.1f} Mrays/s  rays/frame={rays}")
+        # primary-only Mrays/s alongside the all-rays number: the
+        # numerator above counts prepass + cascade + GI-update rays
+        # (documented), which flatters ~1.4x vs primary-only
         return fps, {
             "fps": round(fps, 3),
             "mrays_per_s": round(mrays, 2),
+            "mrays_primary_only": round(rays["primary"] * fps / 1e6, 2),
             "hit_frac": round(hit_frac, 4),
             "frames": frames,
+            "straggler_overflow": overflow,
             "rays_per_frame": rays,
         }
 
@@ -340,9 +365,12 @@ def main():
     sh_tag = "soft" if soft else "hard"
     op = (f"{width}x{height}+3x upscale to {3 * width}x{3 * height}"
           if upscale else f"{width}x{height}")
+    sem_tag = ("TPU-tuned cadence" if (fast_trace or soft) else
+               "reference-exact cadence")
     print(json.dumps({
         "metric": f"Mrays/s at {op} hybrid SDF+DDA trace "
-                  f"({2**cube}^3 world, gi={gi_tag}, {sh_tag} shadows, "
+                  f"({2**cube}^3 world, gi={gi_tag} div{rcfg.gi_res_divisor}"
+                  f", {sh_tag} shadows, {sem_tag}, "
                   f"single chip, pipelined dispatch)",
         "value": mrays,
         "unit": "Mrays/s",

@@ -223,6 +223,20 @@ class RenderConfig:
     # costs the full lane budget)
     steps_per_check: int = 2
 
+    # slim superstep carry: drop the 3 tMax arrays from the while-loop
+    # carry (recompute them each superstep from the frozen DDA-entry
+    # position and the current cell - algebraically the same value) and
+    # re-derive the 6 direction invariants (1/|d|, sign) in-body behind an
+    # optimization barrier instead of re-reading them from HBM.  The
+    # superstep cost is HBM-bound (PERF.md: ~20 ns/lane-step vs 7.5 ns
+    # for the gather alone), so carry bytes are the tax.  Deviation class:
+    # recomputed tMax differs from the incremental value by float
+    # rounding, which can flip the axis pick at exact voxel-corner ties -
+    # same class as the fast-trace cadence (hits/normals gated at the
+    # image level).  Default off: golden tests keep the reference
+    # bit-exact incremental carry.
+    slim_carry: bool = False
+
     # start-distance cascade: trace 1/(2*prepass_cascade) of full res from
     # scratch, feed a conservative min-neighborhood start to the half-res
     # prepass (the same idea as the reference's minDist, one level deeper);
@@ -320,8 +334,10 @@ class EngineConfig:
     # machinery was kept for: measured 689 -> 334 ms per 262K-cell window
     # at 2048^3 (PERF.md).  Camera rays keep their own (default-off)
     # knob: the same mechanism measured NEGATIVE there.  Hit flags match
-    # single-phase exactly; positions/UVs to fp tolerance.  0 disables.
-    gi_straggler_budget: int = 12
+    # single-phase exactly; positions/UVs to fp tolerance - which is why
+    # the DEFAULT is 0 (reference cadence everywhere, incl. stages 1-4);
+    # the perf tiers (config_stage5, bench) opt in at 12.
+    gi_straggler_budget: int = 0
 
     @property
     def gi_window(self) -> int:
@@ -390,6 +406,7 @@ def config_stage5() -> EngineConfig:
         ),
         lighting=dataclasses.replace(LightingConfig(), soft_shadows=True,
                                      soft_shadow_stride=2),
+        gi_straggler_budget=12,
     )
 
 

@@ -120,19 +120,36 @@ def init_gi_chunked(bits, sdf, ecfg: EngineConfig, sky_y=None, table=None,
     if cells <= chunk:
         return jax.jit(init_gi, static_argnames=("ecfg",))(
             bits, sdf, ecfg, sky_y=sky_y, table=table)
-    assert cells % chunk == 0, (cells, chunk)
     inner = jax.jit(_ft.partial(init_gi, ecfg=ecfg, count=chunk))
+    full = cells - cells % chunk
     parts = [inner(bits, sdf, sky_y=sky_y, table=table,
-                   offset=jnp.int32(off))  # traced: one compile, 8 calls
-             for off in range(0, cells, chunk)]
+                   offset=jnp.int32(off))  # traced: one compile, N calls
+             for off in range(0, full, chunk)]
+    rem = cells - full
+    if rem:
+        # tail slice at its own (one-off) jit size, padded up to the ray
+        # batch width so the 2-D tile reshape in init_gi stays valid; the
+        # padded window is anchored at cells - pad (>= 0 since cells >
+        # chunk >= pad), so the leading pad - rem cells recompute values
+        # already produced by the full chunks and are sliced off
+        pad = min(-(-rem // 4096) * 4096, chunk)
+        tail = jax.jit(_ft.partial(init_gi, ecfg=ecfg, count=pad))(
+            bits, sdf, sky_y=sky_y, table=table,
+            offset=jnp.int32(cells - pad))
+        parts.append(tail[pad - rem:])
     return jnp.concatenate(parts)
 
 
 def update_gi(gi: jax.Array, bits, sdf, atlas, ecfg: EngineConfig,
               frame: jax.Array, offset: jax.Array, sky_y=None,
-              table=None) -> jax.Array:
+              table=None, return_stats: bool = False) -> jax.Array:
     """One progressive sweep slice: update ``gi_rays_per_frame`` cells
-    starting at ``offset`` (GlobalIlluminate, CoarseArray.cu:273-355)."""
+    starting at ``offset`` (GlobalIlluminate, CoarseArray.cu:273-355).
+
+    ``return_stats``: also return ``{"straggler_overflow": i32 scalar}`` -
+    the count of rays this window that blew the two-phase straggler cap
+    and silently degraded to miss (expected 0 at production caps; the
+    bench surfaces this per frame)."""
     cfg, lcfg, rcfg = ecfg.world, ecfg.lighting, ecfg.render
     if ecfg.gi_straggler_budget > 0:
         # two-phase straggler respite for the GI traces (config.py
@@ -207,8 +224,13 @@ def update_gi(gi: jax.Array, bits, sdf, atlas, ecfg: EngineConfig,
     fb = pb + (new_b - pb) * lr
     packed = gi_grid.pack_rgba8(fr, fg, fb)
     packed = jnp.where(inside, prev_words, packed)
-    return jax.lax.dynamic_update_slice(gi, packed.reshape(-1),
-                                        (offset.astype(jnp.int32),))
+    new_gi = jax.lax.dynamic_update_slice(gi, packed.reshape(-1),
+                                          (offset.astype(jnp.int32),))
+    if return_stats:
+        overflow = (jnp.sum(shadow.degraded.astype(jnp.int32))
+                    + jnp.sum(bounce.degraded.astype(jnp.int32)))
+        return new_gi, {"straggler_overflow": overflow}
+    return new_gi
 
 
 def gi_delta(prev: jax.Array, new: jax.Array) -> jax.Array:

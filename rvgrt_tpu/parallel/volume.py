@@ -199,7 +199,8 @@ def trace_ring(tbl: jax.Array, cfg: WorldConfig, rcfg: RenderConfig,
             r = wavefront.TraceResult(
                 hit=jnp.zeros((cap,), bool), px=f32(), py=f32(), pz=f32(),
                 nx=f32(), ny=f32(), nz=f32(), uv_u=f32(), uv_v=f32(),
-                its=i32(), t=f32(), exit_dir=i32(), steps=i32())
+                its=i32(), t=f32(), exit_dir=i32(), steps=i32(),
+                degraded=jnp.zeros((cap,), bool))
             return jax.tree.map(_vary, r)  # match do_trace's varying vma
 
         # devices with an empty buffer skip the whole superstep machine
@@ -293,7 +294,8 @@ def _ring_result(out: dict, N: int) -> wavefront.TraceResult:
         nx=fix(out["nx"]), ny=fix(out["ny"]), nz=fix(out["nz"]),
         uv_u=fix(out["uv_u"]), uv_v=fix(out["uv_v"]),
         its=fix(out["its"]), t=fix(out["t"]),
-        exit_dir=jnp.zeros((N,), _I32), steps=jnp.zeros((N,), _I32))
+        exit_dir=jnp.zeros((N,), _I32), steps=jnp.zeros((N,), _I32),
+        degraded=jnp.zeros((N,), bool))
 
 
 @functools.lru_cache(maxsize=None)

@@ -39,8 +39,10 @@ def max_cone_steps(lcfg: LightingConfig) -> int:
     The march starts at 2*step_size and advances by
     ``max(step_size, 0.5 * tan(angle) * cur)`` whenever it samples, so the
     farthest-reaching trajectory is deterministic in the config constants:
-    16 steps at the reference constants (<=20 steps, angle 0.4, step 1.5,
-    max dist 64 - ``raytracing_functions.cuh:9-12``).  Iterations past
+    15 steps at the reference constants (<=20 steps, angle 0.4, step 1.5,
+    max dist 64 - ``raytracing_functions.cuh:9-12``; the last sampled
+    distance is 61.8, the next candidate 74.9 > 64 - asserted in
+    tests/test_render.py).  Iterations past
     this bound are masked no-ops in the fixed-trip vector loop - pure
     gather waste - so the default trip count is computed, not 20.
     Capped at the reference's 20 (``raytracing_functions.cu:222``).

@@ -101,6 +101,11 @@ class TraceResult(NamedTuple):
     # supersteps the ray's retirement tile ran (i32, same value across a
     # tile) - the tracer's true cost counter: tile time ~ steps x lanes
     steps: jax.Array = 0
+    # two-phase straggler respite only: True where a ray exceeded the
+    # phase-2 buffer cap and silently degraded to miss.  Production
+    # telemetry: the bench sums this per frame and reports it; the cap
+    # carries a 1.57x measured margin so the expected value is 0
+    degraded: jax.Array = 0
 
 
 def make_trace_table(bits: jax.Array, sdf: jax.Array,
@@ -332,13 +337,15 @@ def _trace_two_phase(table, cfg: WorldConfig, rcfg: RenderConfig, args,
         its=put(r1.its, its2), t=put(r1.t, r2.t),
         exit_dir=jnp.zeros_like(r1.exit_dir),
         steps=put(r1.steps, steps1 + r2.steps))
-    # over-cap stragglers (if any) degrade to the miss payload
+    # over-cap stragglers (if any) degrade to the miss payload; the
+    # ``degraded`` flag makes that loss observable instead of silent
     leftover = unfin.at[ids].set(False, mode="drop")
     out = out._replace(
         px=jnp.where(leftover, _F32(MISS_POS), out.px),
         py=jnp.where(leftover, _F32(MISS_POS), out.py),
         pz=jnp.where(leftover, _F32(MISS_POS), out.pz),
-        t=jnp.where(leftover, _F32(0.0), out.t))
+        t=jnp.where(leftover, _F32(0.0), out.t),
+        degraded=leftover)
     return jax.tree.map(lambda a: a.reshape(shape), out)
 
 
@@ -399,29 +406,44 @@ def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
     # bounds check misses -> its == 2 (lines 124, 144-147)
     its0 = jnp.where(oob0, its0 + 1, its0)
 
+    slim = rcfg.slim_carry
     state = dict(
         px=px0, py=py0, pz=pz0,
         ix=zi, iy=zi, iz=zi,
-        tmx=zf, tmy=zf, tmz=zf,
         flags=_set(_set(zi, _MK_SH, _MK_W, MASK_NONE), _PH_SH, _PH_W, ph0),
         its=its0,
         step=jnp.zeros((), _I32),
     )
+    if not slim:
+        state.update(tmx=zf, tmy=zf, tmz=zf)
 
-    def enter_dda(s, lanes, flags):
+    def recompute_tmax(px_, ix_, st_, dd_):
+        """tMax for the current DDA cell from the frozen DDA-entry position:
+        the distance along the ray to the next boundary on this axis.
+        Algebraically equal to the incrementally-carried value (entry value
+        (floor+-frac)*dd plus k steps of +dd telescopes to this), to float
+        rounding.  Guard: a zero-direction lane whose entry position sits
+        exactly on a boundary would recompute 0 forever (the incremental
+        carry escapes by one no-move step); park it at +inf instead."""
+        ixf = ix_.astype(_F32)
+        tm = jnp.where(st_ > 0, ixf + 1.0 - px_, px_ - ixf) * dd_
+        return jnp.where((st_ == 0) & (tm == 0.0), big, tm)
+
+    def enter_dda(s, lanes, flags, ddx=ddx, ddy=ddy, ddz=ddz):
         """SPHERE -> DDA for ``lanes``: floor pos, init tMax (lines 114-120)."""
         fx = jnp.floor(s["px"])
         fy = jnp.floor(s["py"])
         fz = jnp.floor(s["pz"])
-        ntmx = jnp.where(stx > 0, fx + 1.0 - s["px"], s["px"] - fx) * ddx
-        ntmy = jnp.where(sty > 0, fy + 1.0 - s["py"], s["py"] - fy) * ddy
-        ntmz = jnp.where(stz > 0, fz + 1.0 - s["pz"], s["pz"] - fz) * ddz
         s["ix"] = jnp.where(lanes, fx.astype(_I32), s["ix"])
         s["iy"] = jnp.where(lanes, fy.astype(_I32), s["iy"])
         s["iz"] = jnp.where(lanes, fz.astype(_I32), s["iz"])
-        s["tmx"] = jnp.where(lanes, ntmx, s["tmx"])
-        s["tmy"] = jnp.where(lanes, ntmy, s["tmy"])
-        s["tmz"] = jnp.where(lanes, ntmz, s["tmz"])
+        if not slim:
+            ntmx = jnp.where(stx > 0, fx + 1.0 - s["px"], s["px"] - fx) * ddx
+            ntmy = jnp.where(sty > 0, fy + 1.0 - s["py"], s["py"] - fy) * ddy
+            ntmz = jnp.where(stz > 0, fz + 1.0 - s["pz"], s["pz"] - fz) * ddz
+            s["tmx"] = jnp.where(lanes, ntmx, s["tmx"])
+            s["tmy"] = jnp.where(lanes, ntmy, s["tmy"])
+            s["tmz"] = jnp.where(lanes, ntmz, s["tmz"])
         nf = _set(flags, _PH_SH, _PH_W, PHASE_DDA)
         nf = _set(nf, _MK_SH, _MK_W, MASK_NONE)
         nf = _set(nf, _DD_SH, _DD_W, 0)
@@ -431,6 +453,26 @@ def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
     probe_mask = rcfg.sdf_probe_interval - 1  # power of two
 
     def body(s):
+        if slim:
+            # re-derive the 6 direction invariants from the (already-read)
+            # direction instead of re-reading them from HBM each superstep;
+            # the barrier pins the computation inside the loop body (XLA's
+            # loop-invariant code motion would otherwise hoist + rematerialize
+            # them as HBM-resident loop inputs, undoing the traffic saving)
+            dxb, dyb, dzb = jax.lax.optimization_barrier((dx, dy, dz))
+            l_ddx = jnp.where(dxb != 0, jnp.abs(1.0 / dxb), big)
+            l_ddy = jnp.where(dyb != 0, jnp.abs(1.0 / dyb), big)
+            l_ddz = jnp.where(dzb != 0, jnp.abs(1.0 / dzb), big)
+            l_stx = jnp.sign(dxb).astype(_I32)
+            l_sty = jnp.sign(dyb).astype(_I32)
+            l_stz = jnp.sign(dzb).astype(_I32)
+            s_tmx = recompute_tmax(s["px"], s["ix"], l_stx, l_ddx)
+            s_tmy = recompute_tmax(s["py"], s["iy"], l_sty, l_ddy)
+            s_tmz = recompute_tmax(s["pz"], s["iz"], l_stz, l_ddz)
+        else:
+            l_ddx, l_ddy, l_ddz = ddx, ddy, ddz
+            l_stx, l_sty, l_stz = stx, sty, stz
+            s_tmx, s_tmy, s_tmz = s["tmx"], s["tmy"], s["tmz"]
         flags = s["flags"]
         phase = _get(flags, _PH_SH, _PH_W)
         dda_i = _get(flags, _DD_SH, _DD_W)
@@ -539,7 +581,7 @@ def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
         # hits, goes OOB, exhausts the budget, reaches a probe boundary
         # (i % 8 == 7, line 127), or leaves the brick.
         l_ix, l_iy, l_iz = s["ix"], s["iy"], s["iz"]
-        l_tmx, l_tmy, l_tmz = s["tmx"], s["tmy"], s["tmz"]
+        l_tmx, l_tmy, l_tmz = s_tmx, s_tmy, s_tmz
         l_mask = _get(flags, _MK_SH, _MK_W)
         l_dda = dda_i
         l_its = ns["its"]
@@ -576,12 +618,12 @@ def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
             step_x = act & (l_tmx < l_tmy) & (l_tmx < l_tmz)
             step_y = act & ~step_x & (l_tmy < l_tmz)
             step_z = act & ~step_x & ~step_y
-            l_tmx = jnp.where(step_x, l_tmx + ddx, l_tmx)
-            l_tmy = jnp.where(step_y, l_tmy + ddy, l_tmy)
-            l_tmz = jnp.where(step_z, l_tmz + ddz, l_tmz)
-            l_ix = jnp.where(step_x, l_ix + stx, l_ix)
-            l_iy = jnp.where(step_y, l_iy + sty, l_iy)
-            l_iz = jnp.where(step_z, l_iz + stz, l_iz)
+            l_tmx = jnp.where(step_x, l_tmx + l_ddx, l_tmx)
+            l_tmy = jnp.where(step_y, l_tmy + l_ddy, l_tmy)
+            l_tmz = jnp.where(step_z, l_tmz + l_ddz, l_tmz)
+            l_ix = jnp.where(step_x, l_ix + l_stx, l_ix)
+            l_iy = jnp.where(step_y, l_iy + l_sty, l_iy)
+            l_iz = jnp.where(step_z, l_iz + l_stz, l_iz)
             l_mask = jnp.where(step_x, MASK_X,
                                jnp.where(step_y, MASK_Y,
                                          jnp.where(step_z, MASK_Z, l_mask)))
@@ -598,9 +640,10 @@ def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
         ns["ix"] = jnp.where(action_turn, l_ix, ns["ix"])
         ns["iy"] = jnp.where(action_turn, l_iy, ns["iy"])
         ns["iz"] = jnp.where(action_turn, l_iz, ns["iz"])
-        ns["tmx"] = jnp.where(action_turn, l_tmx, ns["tmx"])
-        ns["tmy"] = jnp.where(action_turn, l_tmy, ns["tmy"])
-        ns["tmz"] = jnp.where(action_turn, l_tmz, ns["tmz"])
+        if not slim:
+            ns["tmx"] = jnp.where(action_turn, l_tmx, ns["tmx"])
+            ns["tmy"] = jnp.where(action_turn, l_tmy, ns["tmy"])
+            ns["tmz"] = jnp.where(action_turn, l_tmz, ns["tmz"])
         ns["its"] = l_its
         nflags = jnp.where(action_turn,
                            _set(_set(nflags, _MK_SH, _MK_W, l_mask),
@@ -643,10 +686,16 @@ def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
     stxf = stx.astype(_F32)
     styf = sty.astype(_F32)
     stzf = stz.astype(_F32)
+    if slim:
+        ftmx = recompute_tmax(final["px"], final["ix"], stx, ddx)
+        ftmy = recompute_tmax(final["py"], final["iy"], sty, ddy)
+        ftmz = recompute_tmax(final["pz"], final["iz"], stz, ddz)
+    else:
+        ftmx, ftmy, ftmz = final["tmx"], final["tmy"], final["tmz"]
     t_hit = jnp.where(
-        m == MASK_X, final["tmx"] - ddx,
-        jnp.where(m == MASK_Y, final["tmy"] - ddy,
-                  jnp.where(m == MASK_Z, final["tmz"] - ddz, _F32(0.0))))
+        m == MASK_X, ftmx - ddx,
+        jnp.where(m == MASK_Y, ftmy - ddy,
+                  jnp.where(m == MASK_Z, ftmz - ddz, _F32(0.0))))
     hx = final["px"] + t_hit * dx
     hy = final["py"] + t_hit * dy
     hz = final["pz"] + t_hit * dz
@@ -713,4 +762,5 @@ def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
         nx=nx, ny=ny, nz=nz,
         uv_u=jnp.where(hit, uvu, 0.0), uv_v=jnp.where(hit, uvv, 0.0),
         its=final["its"], t=t_out, exit_dir=exit_dir,
-        steps=jnp.broadcast_to(final["step"], hit.shape))
+        steps=jnp.broadcast_to(final["step"], hit.shape),
+        degraded=jnp.zeros_like(hit))

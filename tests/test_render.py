@@ -430,3 +430,25 @@ def test_soft_shadow_stride_interpolates_marched_sites(engine):
     np.testing.assert_allclose(a2[::2, 1::2],
                                want_oddx[:, :a2[::2, 1::2].shape[1]],
                                atol=1e-5)
+
+
+def test_max_cone_steps_documented_value():
+    """The config-derived cone trip bound at the reference constants
+    (angle 0.4, step 1.5, max dist 64, raytracing_functions.cuh:9-12) is
+    exactly 15: the 15th advance lands past gi_max_distance (61.8 ->
+    74.9 > 64), so steps 16-20 of the reference's fixed loop are provably
+    masked no-ops.  Guards the docstring's number (ADVICE r2)."""
+    from rvgrt_tpu.config import LightingConfig
+    from rvgrt_tpu.render.shading import max_cone_steps
+
+    lcfg = LightingConfig()
+    assert max_cone_steps(lcfg) == 15
+    # replay the recurrence: the bound is tight (one fewer step would
+    # leave a reachable sample inside gi_max_distance)
+    tan_half = 0.5 * math.tan(lcfg.cone_angle)
+    cur = 2.0 * lcfg.gi_step_size
+    for _ in range(14):
+        cur += max(lcfg.gi_step_size, tan_half * cur)
+    assert cur <= lcfg.gi_max_distance  # 14 steps: still inside
+    cur += max(lcfg.gi_step_size, tan_half * cur)
+    assert cur > lcfg.gi_max_distance   # 15th: provably out

@@ -92,6 +92,39 @@ def test_init_gi_chunked_matches_unchunked(small_ecfg, small_world):
     np.testing.assert_array_equal(np.asarray(full), np.asarray(chunked))
 
 
+def test_init_gi_chunked_handles_non_multiple_tail(small_ecfg, small_world):
+    """A chunk that does NOT divide gi_num_cells must still produce the
+    exact full-grid init (the tail slice is padded + re-anchored, not
+    asserted away)."""
+    w = small_world
+    full = gi_update.init_gi(w.bits, w.sdf, small_ecfg, sky_y=w.sky_y,
+                             table=w.trace_table)
+    cells = small_ecfg.world.gi_num_cells
+    chunk = cells // 3 + 1  # leaves a ragged tail
+    assert cells % chunk != 0
+    chunked = gi_update.init_gi_chunked(w.bits, w.sdf, small_ecfg,
+                                        sky_y=w.sky_y, table=w.trace_table,
+                                        chunk=chunk)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(chunked))
+
+
+def test_gi_update_stats_overflow_zero(small_ecfg, small_world):
+    """update_gi(return_stats=True) reports the straggler-cap overflow
+    count; at the production margin it must be 0 (and the grid must match
+    the stats-less call exactly)."""
+    w = small_world
+    ecfg = dataclasses.replace(small_ecfg, gi_straggler_budget=12)
+    frame = jnp.uint32(3)
+    off = jnp.int32(0)
+    g1 = gi_update.update_gi(w.gi, w.bits, w.sdf, w.atlas, ecfg, frame,
+                             off, sky_y=w.sky_y, table=w.trace_table)
+    g2, stats = gi_update.update_gi(w.gi, w.bits, w.sdf, w.atlas, ecfg,
+                                    frame, off, sky_y=w.sky_y,
+                                    table=w.trace_table, return_stats=True)
+    assert int(stats["straggler_overflow"]) == 0
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
 def test_gi_offset_advances_and_wraps(small_ecfg):
     n = min(small_ecfg.gi_rays_per_frame, small_ecfg.world.gi_num_cells)
     off = 0

@@ -314,3 +314,97 @@ def test_straggler_two_phase_matches_single_phase(small_world):
     for a, b in ((got.nx, ref.nx), (got.ny, ref.ny), (got.nz, ref.nz)):
         np.testing.assert_array_equal(np.asarray(a)[hit],
                                       np.asarray(b)[hit])
+    # ...and the loss is observable: every silently-degraded ray raises
+    # the telemetry flag, and flagged rays read as misses
+    deg = np.asarray(got.degraded)
+    assert deg.sum() > 0, "forced-tiny cap must overflow"
+    assert not np.any(hit & deg)
+    np.testing.assert_array_equal(np.asarray(got.px)[deg], -500.0)
+
+
+def test_slim_carry_matches_incremental(small_world):
+    """RenderConfig.slim_carry recomputes tMax from (cell, DDA-entry pos)
+    instead of carrying it: algebraically the same value, so hit flags,
+    normals and its must match exactly on generic rays; positions/UVs to
+    float-rounding tolerance (the recomputed value can differ by ulps)."""
+    import dataclasses
+
+    cfg, bits, sdf, _ = small_world
+    base = RenderConfig()
+    h = w = 128
+    o = np.float32([47.5, 36.0, 32.5])
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    dx = -0.6 + 1.4 * (xs / w)
+    dy = 0.55 - 1.3 * (ys / h)
+    dz = -0.6 + 1.4 * (ys / h)
+    n_ = np.sqrt(dx * dx + dy * dy + dz * dz + 1e-8)
+    dx, dy, dz = dx / n_, dy / n_, dz / n_
+    t0 = jnp.zeros((h, w), jnp.float32)
+
+    ref = wavefront.trace(bits, sdf, cfg, base, o[0], o[1], o[2],
+                          dx, dy, dz, t0)
+    rc = dataclasses.replace(base, slim_carry=True)
+    got = wavefront.trace(bits, sdf, cfg, rc, o[0], o[1], o[2],
+                          dx, dy, dz, t0)
+    ref_hit = np.asarray(ref.hit)
+    got_hit = np.asarray(got.hit)
+    # ulp-level tMax differences legitimately flip the step order at
+    # voxel-corner near-ties (and change the step count by +-1 on
+    # corner-grazing paths); the contract is a tiny mismatch budget, with
+    # every agreeing lane numerically tight
+    hit_diff = (got_hit != ref_hit)
+    assert hit_diff.sum() <= 3, f"{hit_diff.sum()} hit flips / 16K"
+    both = ref_hit & got_hit
+    nm = np.zeros_like(ref_hit)
+    for a, b in ((got.nx, ref.nx), (got.ny, ref.ny), (got.nz, ref.nz)):
+        nm |= np.asarray(a) != np.asarray(b)
+    assert (nm & both).sum() <= 5
+    its_d = np.abs(np.asarray(got.its).astype(np.int64)
+                   - np.asarray(ref.its).astype(np.int64))
+    assert its_d.max() <= 4 and its_d.mean() <= 0.01
+    ok = both & ~nm
+    for a, b in ((got.px, ref.px), (got.py, ref.py), (got.pz, ref.pz),
+                 (got.t, ref.t)):
+        np.testing.assert_allclose(np.asarray(a)[ok],
+                                   np.asarray(b)[ok], atol=1e-3)
+    # axis-aligned rays exercise the zero-direction guard (a dir component
+    # of exactly 0 must never be stepped by the recomputed tMax)
+    o2 = np.float32([32.25, 50.0, 32.75])
+    d2 = np.zeros((4, 128, 3), np.float32)
+    d2[0, :, 1] = -1.0
+    d2[1, :, 0] = 1.0
+    d2[2, :, 2] = -1.0
+    d2[3, :, 0] = -0.7071
+    d2[3, :, 1] = -0.7071
+    r2 = wavefront.trace(bits, sdf, cfg, RenderConfig(), o2[0], o2[1],
+                         o2[2], d2[..., 0], d2[..., 1], d2[..., 2],
+                         jnp.zeros((4, 128), jnp.float32))
+    g2 = wavefront.trace(bits, sdf, cfg, rc, o2[0], o2[1], o2[2],
+                         d2[..., 0], d2[..., 1], d2[..., 2],
+                         jnp.zeros((4, 128), jnp.float32))
+    np.testing.assert_array_equal(np.asarray(g2.hit), np.asarray(r2.hit))
+    for a, b in ((g2.px, r2.px), (g2.py, r2.py), (g2.pz, r2.pz)):
+        hh = np.asarray(r2.hit)
+        np.testing.assert_allclose(np.asarray(a)[hh], np.asarray(b)[hh],
+                                   atol=1e-4)
+
+
+def test_straggler_overflow_flag_zero_at_margin_cap(small_world):
+    """At a cap that holds every straggler (frac=1.0, the production
+    contract's margin case) the degraded flag is identically zero."""
+    import dataclasses
+
+    cfg, bits, sdf, _ = small_world
+    h = w = 128
+    o = np.float32([47.5, 36.0, 32.5])
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    dx = -0.6 + 1.4 * (xs / w)
+    dy = 0.55 - 1.3 * (ys / h)
+    dz = -0.6 + 1.4 * (ys / h)
+    n_ = np.sqrt(dx * dx + dy * dy + dz * dz + 1e-8)
+    rcfg = dataclasses.replace(RenderConfig(), straggler_budget=8,
+                               straggler_cap_frac=1.0)
+    got = wavefront.trace(bits, sdf, cfg, rcfg, o[0], o[1], o[2],
+                          dx / n_, dy / n_, dz / n_,
+                          jnp.zeros((h, w), jnp.float32))
+    assert np.asarray(got.degraded).sum() == 0
