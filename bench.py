@@ -70,6 +70,15 @@ def main():
     config4 = os.environ.get("BENCH_CONFIG4", "1") == "1"
     soft = os.environ.get("BENCH_SOFT", "1") == "1"
     fast_trace = os.environ.get("BENCH_FAST_TRACE", "1") == "1"
+    # checkerboard primaries: trace half the full-res pixels per frame
+    # (alternating), temporal accumulator fills (pipeline.checker_*).
+    # Requires the upscaler in the loop.
+    checker = (os.environ.get("BENCH_CHECKER", "1") == "1"
+               and up_mode == "temporal")
+    # slim carry measured cost-NEUTRAL on-chip (probe_r7: 302 -> 301 ms
+    # primary) - the superstep is not carry-HBM-bound; default off to
+    # keep the incremental reference arithmetic
+    slim = os.environ.get("BENCH_SLIM", "0") == "1"
 
     dev = jax.devices()[0]
 
@@ -96,6 +105,10 @@ def main():
         # restores the reference cadence.
         rcfg = dataclasses.replace(rcfg, dda_substeps=6,
                                    sdf_probe_interval=16, dist_bias=4.0)
+    if slim:
+        # slim superstep carry (RenderConfig.slim_carry): tMax recomputed
+        # instead of carried; hit/normal parity gated in tests
+        rcfg = dataclasses.replace(rcfg, slim_carry=True)
     # cone-march site stride: 8 quarters the GI-composite gathers vs the
     # default 4; 36.5 dB vs the exact per-pixel march measured at a SMALLER
     # frame than this one (denser world-space sites here), GI being a soft
@@ -175,17 +188,31 @@ def main():
 
     def build_ops(ec):
         """(base, post, gi_step) jits for one operating point."""
-        def _base(b, s, g, a, cam, sky, tbl):
+        ck = checker and ec.render.width == width
+
+        def _base(b, s, g, a, cam, sky, tbl, par):
             return pipeline.render_frame(b, s, g, a, cam, ec,
                                          include_gi=False, sky_y=sky,
                                          table=tbl,
-                                         return_gbuffer=include_gi)
+                                         return_gbuffer=include_gi,
+                                         checker_parity=par if ck else None)
 
-        def _post(out, gb, g, s, cam, hist):
+        def _post(out, gb, g, s, cam, hist, par):
             """-> (frame outputs, next upscaler state)."""
             if include_gi:
                 out = out._replace(color=pipeline.gi_composite(
                     out.color, gb, g, s, ec))
+            valid = None
+            if ck:
+                # expand the half-width checkerboard buffers to the full
+                # frame; untraced pixels are neighbor-filled and enter the
+                # accumulator at 5% weight (history dominates)
+                ex = lambda a: pipeline.checker_expand(a, par)  # noqa: E731
+                out = out._replace(color=ex(out.color),
+                                   motion=ex(out.motion),
+                                   depth=ex(out.depth))
+                valid = pipeline.checker_valid_mask(ec.render.height,
+                                                    ec.render.width, par)
             if upscale and ec.render.width == width:
                 if up_mode == "net":
                     hi, _ = up_model.upscale(up_net, up_params, out.color,
@@ -193,7 +220,8 @@ def main():
                                              cam.jitter, hist)
                     return out._replace(color=hi), hi
                 hi, nstate = up_temporal.temporal_upscale(
-                    out.color, out.motion, out.depth, cam.jitter, hist)
+                    out.color, out.motion, out.depth, cam.jitter, hist,
+                    valid=valid)
                 return out._replace(color=hi), nstate
             return out, hist
 
@@ -201,11 +229,11 @@ def main():
             return gi_update.update_gi(g, b, s, a, ec, fr, off,
                                        sky_y=sky, table=tbl)
 
-        return jax.jit(_base), jax.jit(_post), jax.jit(_gi)
+        return jax.jit(_base), jax.jit(_post), jax.jit(_gi), ck
 
     def run_point(ec, label, frames):
         """Measure one operating point; returns (fps, stats dict)."""
-        base_j, post_j, gi_j = build_ops(ec)
+        base_j, post_j, gi_j, ck = build_ops(ec)
         from rvgrt_tpu.upscale import model as up_model_l
         if upscale and ec.render.width == width:
             if up_mode == "net":
@@ -249,16 +277,18 @@ def main():
             o = gi_update.advance_offset(o, ec)
         off_dev = {v: jax.device_put(jnp.int32(v)) for v in set(off_seq)}
         fr0 = jax.device_put(jnp.uint32(0))
+        par_dev = [jax.device_put(jnp.int32(0)), jax.device_put(jnp.int32(1))]
 
-        def frame(cam, gi, offset, hist, acc):
+        def frame(i, cam, gi, offset, hist, acc):
+            par = par_dev[i & 1]
             if include_gi:
                 gi = gi_j(gi, world.bits, world.sdf, world.atlas,
                           fr0, off_dev[offset],
                           world.sky_y, world.trace_table)
             r = base_j(world.bits, world.sdf, gi, world.atlas, cam,
-                       world.sky_y, world.trace_table)
+                       world.sky_y, world.trace_table, par)
             out, gb = r if include_gi else (r, None)
-            out, nhist = post_j(out, gb, gi, world.sdf, cam, hist)
+            out, nhist = post_j(out, gb, gi, world.sdf, cam, hist, par)
             # tiny reduction chains every frame into one final readback
             acc = acc + jnp.sum(out.depth)
             return out, gi, nhist, acc
@@ -268,12 +298,12 @@ def main():
         gi = world.gi
         offset = 0
         t0 = time.time()
-        out, gi, hist, acc = frame(cams[0], gi, offset, hist0, acc)
+        out, gi, hist, acc = frame(0, cams[0], gi, offset, hist0, acc)
         float(acc)
         log(f"[{label}] compile+first frame: {time.time() - t0:.1f}s")
         offset = gi_update.advance_offset(offset, ec)
         t0 = time.time()
-        out, gi, hist, acc = frame(cams[1], gi, offset, hist, acc)
+        out, gi, hist, acc = frame(1, cams[1], gi, offset, hist, acc)
         wdepth = out.depth
         hit_frac = float(jnp.mean((wdepth != 1.0).astype(jnp.float32)))
         log(f"[{label}] warm frame {time.time() - t0:.1f}s; "
@@ -283,7 +313,8 @@ def main():
         t0 = time.time()
         for i in range(frames):
             offset = gi_update.advance_offset(offset, ec)
-            out, gi, hist, acc = frame(cams[2 + i], gi, offset, hist, acc)
+            out, gi, hist, acc = frame(2 + i, cams[2 + i], gi, offset,
+                                       hist, acc)
         float(acc)  # one readback closes the pipeline
         dt = time.time() - t0
         fps = frames / dt
@@ -309,7 +340,7 @@ def main():
         hw, hh = w_ // 2, h_ // 2
         q = ec.render.prepass_cascade
         rays = {
-            "primary": w_ * h_,
+            "primary": (w_ * h_) // 2 if ck else w_ * h_,
             "prepass_primary": hw * hh,
             # soft shadows march one SDF ray per STRIDED prepass site
             # (penumbras interpolated between sites); hard shadows trace
@@ -365,8 +396,10 @@ def main():
     sh_tag = "soft" if soft else "hard"
     op = (f"{width}x{height}+3x upscale to {3 * width}x{3 * height}"
           if upscale else f"{width}x{height}")
-    sem_tag = ("TPU-tuned cadence" if (fast_trace or soft) else
-               "reference-exact cadence")
+    sem_tag = ("TPU-tuned cadence" if (fast_trace or soft or checker or slim)
+               else "reference-exact cadence")
+    if checker:
+        sem_tag = "checkerboard primaries, " + sem_tag
     print(json.dumps({
         "metric": f"Mrays/s at {op} hybrid SDF+DDA trace "
                   f"({2**cube}^3 world, gi={gi_tag} div{rcfg.gi_res_divisor}"

@@ -445,17 +445,97 @@ def gather_gi_image(res, gi, sdf, cfg, rcfg, lcfg, gi_occ=None):
                               rcfg.gi_depth_threshold)
 
 
+def checker_select(a: jnp.ndarray, parity, y0=0) -> jnp.ndarray:
+    """(H, W) -> (H, W/2): keep each row's checkerboard-active columns.
+
+    Row ``y`` (global index ``y0 + row``) keeps columns ``x = 2j + off``
+    with ``off = (y + parity) & 1`` - the alternating half of the pixels a
+    checkerboard frame actually traces.  ``parity`` may be traced."""
+    h = a.shape[0]
+    off = ((jnp.arange(h, dtype=jnp.int32) + jnp.asarray(y0, jnp.int32)
+            + jnp.asarray(parity, jnp.int32)) & 1)
+    off = off.reshape((h,) + (1,) * (a.ndim - 1))
+    return jnp.where(off == 0, a[:, 0::2], a[:, 1::2])
+
+
+def _shift_cols(a: jnp.ndarray, delta: int) -> jnp.ndarray:
+    """Edge-clamped static column shift: out[:, j] = a[:, clip(j+delta)]."""
+    if delta == 0:
+        return a
+    pad = [(0, 0)] * a.ndim
+    pad[1] = (max(-delta, 0), max(delta, 0))
+    p = jnp.pad(a, pad, mode="edge")
+    lo = max(delta, 0)
+    return jax.lax.slice_in_dim(p, lo, lo + a.shape[1], axis=1)
+
+
+def _shift_rows(a: jnp.ndarray, delta: int) -> jnp.ndarray:
+    if delta == 0:
+        return a
+    pad = [(0, 0)] * a.ndim
+    pad[0] = (max(-delta, 0), max(delta, 0))
+    p = jnp.pad(a, pad, mode="edge")
+    lo = max(delta, 0)
+    return jax.lax.slice_in_dim(p, lo, lo + a.shape[0], axis=0)
+
+
+def checker_expand(half: jnp.ndarray, parity, y0=0) -> jnp.ndarray:
+    """(H, W/2[, C]) checkerboard buffer -> (H, W[, C]) full frame.
+
+    Traced pixels keep their exact values; the untraced half is filled
+    with the average of its 4 traced neighbors (left/right in the same
+    row, up/down in the adjacent rows - all traced by construction of the
+    checkerboard), edge-clamped.  The fill is a placeholder the temporal
+    accumulator immediately down-weights (``temporal_upscale(valid=...)``)
+    wherever real history exists - the static-scene steady state contains
+    NO filled pixels, only samples."""
+    h, w2 = half.shape[0], half.shape[1]
+    off = ((jnp.arange(h, dtype=jnp.int32) + jnp.asarray(y0, jnp.int32)
+            + jnp.asarray(parity, jnp.int32)) & 1)
+    off = off.reshape((h,) + (1,) * (half.ndim - 1))
+    up = _shift_rows(half, -1)
+    down = _shift_rows(half, 1)
+    vert = up + down
+    # off == 0 (traced at even x): untraced odd x' = 2j+1 between half
+    # cols j and j+1; off == 1: untraced even x' = 2j between j-1 and j
+    fill0 = (half + _shift_cols(half, 1) + vert) * _F32(0.25)
+    fill1 = (_shift_cols(half, -1) + half + vert) * _F32(0.25)
+    fill = jnp.where(off == 0, fill0, fill1)
+    evens = jnp.where(off == 0, half, fill)
+    odds = jnp.where(off == 0, fill, half)
+    out = jnp.stack([evens, odds], axis=2)
+    return out.reshape((h, 2 * w2) + half.shape[2:])
+
+
+def checker_valid_mask(height: int, width: int, parity) -> jnp.ndarray:
+    """(H, W) bool: True where this checkerboard frame traced a pixel
+    (``(x + y + parity) & 1 == 0``)."""
+    ys = jnp.arange(height, dtype=jnp.int32)[:, None]
+    xs = jnp.arange(width, dtype=jnp.int32)[None, :]
+    return ((xs + ys + jnp.asarray(parity, jnp.int32)) & 1) == 0
+
+
 def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
                 ecfg: EngineConfig, y0, slab_h: int,
                 include_gi: bool = True, gi_occ=None,
                 sky_y=None, table=None,
-                return_gbuffer: bool = False, trace_fn=None) -> FrameOutputs:
+                return_gbuffer: bool = False, trace_fn=None,
+                checker_parity=None) -> FrameOutputs:
     """Render rows [y0, y0 + slab_h) of the frame.
 
     The unit of pixel-parallel work: a full frame is one slab; a sharded
     frame is one slab per device (parallel/sharding.py), each recomputing a
     1-row half-res halo instead of exchanging boundaries - cheaper than a
     collective for a 2x-downsampled prepass.  ``y0`` must be even.
+
+    ``checker_parity`` (traced i32 0/1, or None): checkerboard rendering -
+    trace only the pixels with ``(x + y + parity) & 1 == 0`` (half the
+    lanes; the alternating-frame rate halving DLSS-class pipelines use
+    under a temporal accumulator).  Outputs come back HALF-width (H, W/2);
+    the caller expands with ``checker_expand`` after any deferred GI
+    composite and passes ``checker_valid_mask`` to the upscaler.  A
+    deliberate, quality-gated deviation from renderKernel's every-pixel
+    contract (StateRender.cu:200-253).
     """
     cfg, rcfg, lcfg = ecfg.world, ecfg.render, ecfg.lighting
     w, h = rcfg.width, slab_h
@@ -489,6 +569,11 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
     # ---- 3: full-res primary ----
     dx, dy, dz = _ray_dirs(cam, w, rcfg.height, pixel_center=False,
                            y0=y0, rows=slab_h)
+    if checker_parity is not None:
+        sel = lambda a: checker_select(a, checker_parity, y0=y0)  # noqa: E731
+        dx, dy, dz = sel(dx), sel(dy), sel(dz)
+        start_dist = sel(start_dist)
+        shadow_full = sel(shadow_full)
     res = trace_fn(cam.pos[0] + jnp.zeros_like(dx), cam.pos[1], cam.pos[2],
                    dx, dy, dz, start_dist)
     hit = res.hit
@@ -610,13 +695,14 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
 def render_frame(bits, sdf, gi, atlas, cam: CameraArrays,
                  ecfg: EngineConfig, include_gi: bool = True,
                  gi_occ=None, sky_y=None, table=None,
-                 return_gbuffer: bool = False, trace_fn=None) -> FrameOutputs:
+                 return_gbuffer: bool = False, trace_fn=None,
+                 checker_parity=None) -> FrameOutputs:
     """Full frame = one slab covering every row."""
     return render_slab(bits, sdf, gi, atlas, cam, ecfg,
                        y0=jnp.int32(0), slab_h=ecfg.render.height,
                        include_gi=include_gi, gi_occ=gi_occ, sky_y=sky_y,
                        table=table, return_gbuffer=return_gbuffer,
-                       trace_fn=trace_fn)
+                       trace_fn=trace_fn, checker_parity=checker_parity)
 
 
 def gi_composite(color, gb: GBuffer, gi, sdf, ecfg: EngineConfig,

@@ -441,13 +441,22 @@ def temporal_upscale(color: jnp.ndarray, motion: jnp.ndarray,
                      motion_decay: float = 0.35,
                      gamma_static: float = 1.5, gamma_moving: float = 0.6,
                      beta_static: float = 8.0, beta_moving: float = 40.0,
-                     adapt_rate: float = 8.0):
+                     adapt_rate: float = 8.0,
+                     valid=None, invalid_weight: float = 0.05):
     """One frame of temporal 3x super-resolution.
 
     Returns ``(out, new_state)`` with ``out`` (SCALE*h, SCALE*w, 3).  The
     same input contract as the learned net (``model.upscale``); ``depth``
     is accepted for contract parity (motion already encodes reprojection;
     depth-based disocclusion tests are future work).
+
+    ``valid``: optional (h, w) bool - True where this frame actually
+    traced the low-res pixel (checkerboard rendering,
+    ``pipeline.checker_valid_mask``).  Untraced pixels enter with
+    ``invalid_weight`` x their normal weight: accumulated history
+    dominates wherever it exists, and the renderer's neighbor-fill is
+    only used where there is no history at all (camera cuts,
+    disocclusions).
     """
     del depth
     h, w = color.shape[0], color.shape[1]
@@ -497,6 +506,10 @@ def temporal_upscale(color: jnp.ndarray, motion: jnp.ndarray,
     n_w = n_prev * jnp.exp(-clamp_dist * jnp.asarray(clamp_beta, _F32))
 
     w_cur = _current_weight(jitter_ndc, h, w, sigma, w_min)
+    if valid is not None:
+        v3 = jnp.repeat(jnp.repeat(valid.astype(_F32), SCALE, axis=0),
+                        SCALE, axis=1)
+        w_cur = w_cur * (v3 + (1.0 - v3) * _F32(invalid_weight))
     den = n_w + w_cur
     out_cf = (n_w[None] * clamped + w_cur[None] * cur) / den[None]
     out_cf = jnp.clip(out_cf, 0.0, 1.0)

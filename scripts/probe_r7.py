@@ -269,18 +269,23 @@ def main():
     # ---------------- 5: shard_map overhead at mesh=1 ----------------
     from rvgrt_tpu.parallel import sharding
 
-    frame_j = jax.jit(lambda b, s, g, a: pipeline.render_frame(
-        b, s, g, a, cam, ecfg, include_gi=False, sky_y=sky_y, table=tbl))
+    # table/sky MUST be jit arguments (268 MB closure constants blow the
+    # remote-compile request - HTTP 413) and the sharded path needs the
+    # same table/sky or it silently rebuilds the table per call
+    frame_j = jax.jit(lambda b, s, g, a, tb, sy: pipeline.render_frame(
+        b, s, g, a, cam, ecfg, include_gi=False, sky_y=sy, table=tb))
     timeit("full frame (GI off) direct", frame_j,
-           world.bits, world.sdf, world.gi, world.atlas)
+           world.bits, world.sdf, world.gi, world.atlas, tbl, sky_y)
     try:
         mesh = sharding.make_mesh(1)
-        b1, s1, g1, a1 = sharding.replicate(mesh, world.bits, world.sdf,
-                                            world.gi, world.atlas)
-        shard_j = jax.jit(lambda b, s, g, a: sharding.render_frame_sharded(
-            b, s, g, a, cam, ecfg, mesh, include_gi=False))
+        b1, s1, g1, a1, t1, y1 = sharding.replicate(
+            mesh, world.bits, world.sdf, world.gi, world.atlas, tbl, sky_y)
+        shard_j = jax.jit(
+            lambda b, s, g, a, tb, sy: sharding.render_frame_sharded(
+                b, s, g, a, cam, ecfg, mesh, include_gi=False, sky_y=sy,
+                table=tb))
         timeit("full frame (GI off) shard_map mesh=1", shard_j,
-               b1, s1, g1, a1)
+               b1, s1, g1, a1, t1, y1)
     except Exception as e:
         print(f"shard_map mesh=1 failed: {e}", flush=True)
 

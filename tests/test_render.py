@@ -452,3 +452,110 @@ def test_max_cone_steps_documented_value():
     assert cur <= lcfg.gi_max_distance  # 14 steps: still inside
     cur += max(lcfg.gi_step_size, tan_half * cur)
     assert cur > lcfg.gi_max_distance   # 15th: provably out
+
+
+def test_checkerboard_traced_pixels_match_full(engine):
+    """Checkerboard rendering (checker_parity) must reproduce the full
+    render EXACTLY at every traced pixel, for both parities, with the
+    untraced half filled from traced neighbors (checker_expand)."""
+    from rvgrt_tpu.driver.engine import camera_arrays
+    from rvgrt_tpu.render import pipeline
+
+    w = engine.world
+    # gi_res_divisor=1: per-pixel cone march, so traced pixels see the
+    # exact same GI as the full render (strided GI sites differ between
+    # the half and full buffers by construction)
+    ecfg = dataclasses.replace(
+        engine.ecfg,
+        render=dataclasses.replace(engine.ecfg.render, gi_res_divisor=1))
+    cam = camera_arrays(
+        engine.character.camera,
+        vp=engine.character.unjittered_view_projection,
+        prev_vp=engine.character.prev_unjittered_view_projection)
+    full = pipeline.render_frame(w.bits, w.sdf, w.gi, w.atlas, cam, ecfg,
+                                 include_gi=True, sky_y=w.sky_y,
+                                 table=w.trace_table)
+    h, wd = ecfg.render.height, ecfg.render.width
+    for parity in (0, 1):
+        half = pipeline.render_frame(w.bits, w.sdf, w.gi, w.atlas, cam,
+                                     ecfg, include_gi=True, sky_y=w.sky_y,
+                                     table=w.trace_table,
+                                     checker_parity=jnp.int32(parity))
+        assert half.color.shape == (h, wd // 2, 3)
+        valid = np.asarray(pipeline.checker_valid_mask(h, wd, parity))
+        assert valid.sum() == h * wd // 2
+        for name, hbuf, fbuf in (("color", half.color, full.color),
+                                 ("motion", half.motion, full.motion),
+                                 ("depth", half.depth, full.depth)):
+            ex = np.asarray(pipeline.checker_expand(hbuf, parity))
+            fv = np.asarray(fbuf)
+            np.testing.assert_allclose(
+                ex[valid], fv[valid], atol=1e-6,
+                err_msg=f"parity={parity} {name}")
+            # the filled half interpolates traced neighbors: finite and
+            # within the traced value range (per channel)
+            inv = ~valid
+            assert np.isfinite(ex[inv]).all()
+        # two parities tile the full frame: traced sets are disjoint and
+        # cover every pixel
+    v0 = np.asarray(pipeline.checker_valid_mask(h, wd, 0))
+    v1 = np.asarray(pipeline.checker_valid_mask(h, wd, 1))
+    assert not np.any(v0 & v1) and np.all(v0 | v1)
+
+
+def test_checkerboard_static_camera_converges_to_full_rate():
+    """Static-camera quality gate (VERDICT r2 #2): after a few alternating
+    checkerboard frames through the temporal accumulator, the upscaled
+    output must match the full-rate pipeline's output closely - every
+    pixel is re-sampled every 2 frames, so the steady state contains only
+    real samples."""
+    from rvgrt_tpu.driver.engine import build_world, camera_arrays
+    from rvgrt_tpu.render import pipeline
+    from rvgrt_tpu.scene.camera import Camera, phase_jitter_sequence
+    from rvgrt_tpu.upscale import temporal
+
+    ecfg = EngineConfig(
+        world=WorldConfig().with_cube(6),
+        render=dataclasses.replace(RenderConfig(), width=64, height=48),
+    )
+    world = build_world(ecfg, verbose=False, init_gi=False)
+    h, wd = 48, 64
+    pos = np.array([32.0, 44.0, 30.0], np.float32)
+    fwd = np.array([0.55, -0.6, 0.58], np.float32)
+    fwd /= np.linalg.norm(fwd)
+    wup = np.array([0.0, 1.0, 0.0], np.float32)
+    right = np.cross(fwd, wup); right /= np.linalg.norm(right)
+    up = np.cross(fwd, right); up /= np.linalg.norm(up)
+
+    seq = phase_jitter_sequence(3)
+    st_full = temporal.init_state(h, wd)
+    st_ck = temporal.init_state(h, wd)
+    out_full = out_ck = None
+    for i in range(10):
+        jx, jy = seq[i % len(seq)] * 0.5
+        jit = (float(jx) * 2.0 / wd, float(jy) * 2.0 / h)
+        cam = camera_arrays(Camera(pos=pos, forward=fwd,
+                                   right=right.astype(np.float32),
+                                   up=up.astype(np.float32)), jitter=jit)
+        full = pipeline.render_frame(world.bits, world.sdf, world.gi,
+                                     world.atlas, cam, ecfg,
+                                     include_gi=False, sky_y=world.sky_y,
+                                     table=world.trace_table)
+        out_full, st_full = temporal.temporal_upscale(
+            full.color, full.motion, full.depth, cam.jitter, st_full)
+        par = jnp.int32(i & 1)
+        half = pipeline.render_frame(world.bits, world.sdf, world.gi,
+                                     world.atlas, cam, ecfg,
+                                     include_gi=False, sky_y=world.sky_y,
+                                     table=world.trace_table,
+                                     checker_parity=par)
+        ex = lambda a: pipeline.checker_expand(a, par)  # noqa: E731
+        valid = pipeline.checker_valid_mask(h, wd, par)
+        out_ck, st_ck = temporal.temporal_upscale(
+            ex(half.color), ex(half.motion), ex(half.depth), cam.jitter,
+            st_ck, valid=valid)
+    a = np.asarray(out_full)
+    b = np.asarray(out_ck)
+    mse = float(np.mean((a - b) ** 2))
+    psnr = 99.0 if mse == 0 else 10.0 * math.log10(1.0 / mse)
+    assert psnr > 40.0, psnr
