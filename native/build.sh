@@ -3,4 +3,5 @@
 set -e
 cd "$(dirname "$0")"
 g++ -O2 -std=c++17 -shared -fPIC -o libframesink.so framesink.cpp -lz -lpthread
-echo "built native/libframesink.so"
+g++ -O2 -std=c++17 -shared -fPIC -o libvideosink.so videosink.cpp -lpthread
+echo "built native/libframesink.so native/libvideosink.so"

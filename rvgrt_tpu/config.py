@@ -296,13 +296,24 @@ class RenderConfig:
     # 720p/512^3, PERF.md).  Outputs match to float addition-order.
     gi_split_dispatch: bool = True
 
+    # distance/shadow prepass resolution divisor.  2 = the reference's
+    # half-res distApproximationKernel (StateRender.cu:310-321, bit-exact
+    # upsample semantics preserved).  4 = quarter-res prepass, a TPU perf
+    # tier (probe_r9: the prepass trace is ~165 ms at 1280x800/1024^3
+    # while primary supersteps are nearly insensitive to start tightness -
+    # 17.4 with half-res minDist starts vs 19.9 with 8x-coarser cascade
+    # starts); start/shadow upsamples switch to the conservative
+    # {-1,0,1,2}-window min / even-anchored linear expand, image-gated in
+    # tests/test_render.py.
+    prepass_divisor: int = 2
+
     @property
     def half_width(self) -> int:
-        return self.width // 2
+        return self.width // self.prepass_divisor
 
     @property
     def half_height(self) -> int:
-        return self.height // 2
+        return self.height // self.prepass_divisor
 
 
 @dataclass(frozen=True)
@@ -338,6 +349,15 @@ class EngineConfig:
     # the DEFAULT is 0 (reference cadence everywhere, incl. stages 1-4);
     # the perf tiers (config_stage5, bench) opt in at 12.
     gi_straggler_budget: int = 0
+
+    # GI init lattice stride (x, z): trace one sun ray per (sx*sz)-cell
+    # block and replicate (gi/update.init_gi_strided), instead of the
+    # reference's one ray per cell (InitialGlobalIlluminate,
+    # CoarseArray.cu:211-245).  Sunlit-ness is spatially smooth and the
+    # progressive sweep re-traces every cell within gi_sweep_frames, so
+    # this is a startup-latency lever (VERDICT r2 #8), image-gated in
+    # tests/test_world.py.  (1, 1) = reference-exact.
+    gi_init_stride: tuple = (1, 1)
 
     @property
     def gi_window(self) -> int:

@@ -110,7 +110,11 @@ def main(argv=None):
     p.add_argument("--config", default="tiny",
                    choices=list(CONFIGS) + ["tiny"])
     p.add_argument("--frames", type=int, default=8)
-    p.add_argument("--out", default=None, help="frame output directory")
+    p.add_argument("--out", default=None,
+                   help="frame output directory, or a .mp4/.avi path for "
+                        "the native MJPEG video sink")
+    p.add_argument("--fps", type=float, default=30.0,
+                   help="video timestamp rate for --out video files")
     p.add_argument("--no-gi", action="store_true")
     p.add_argument("--fly", action="store_true",
                    help="move forward + turn during the path")
@@ -128,7 +132,11 @@ def main(argv=None):
     spawn = spawn_above_terrain(eng)
     print(f"spawn at {spawn}", file=sys.stderr)
 
-    sink = FrameSink(args.out) if args.out else None
+    video = args.out and args.out.lower().endswith((".mp4", ".avi"))
+    sink = None
+    if args.out and not video:
+        sink = FrameSink(args.out)
+    vsink = None  # created lazily: the frame size depends on --upscale
     avg = FrameTimeAverager()
     # quantize + reduce on device: fetching u8 color (and a scalar hit
     # stat) moves 4x less data through the device tunnel than f32 buffers
@@ -186,6 +194,12 @@ def main(argv=None):
         ms = avg.tick()
         if sink is not None:
             sink.push(img, i)
+        elif video:
+            if vsink is None:
+                from rvgrt_tpu.driver.videosink import VideoSink
+                vsink = VideoSink(args.out, img.shape[1], img.shape[0],
+                                  fps=args.fps)
+            vsink.push(img)
         print(f"frame {i}: {ms:.1f} ms avg, hit "
               f"{float(hit_frac(out.depth)):.2f}",
               file=sys.stderr)
@@ -193,6 +207,11 @@ def main(argv=None):
         sink.flush()
         print(f"wrote {sink.written} frames to {args.out} "
               f"(dropped {sink.dropped})", file=sys.stderr)
+    if vsink is not None:
+        n, d = vsink.frames, vsink.dropped
+        vsink.close()
+        print(f"wrote {n} video frames to {args.out} (dropped {d})",
+              file=sys.stderr)
     print(f"avg frame time {avg.average_ms:.1f} ms ({avg.fps:.1f} FPS)",
           file=sys.stderr)
 

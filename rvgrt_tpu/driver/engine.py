@@ -84,8 +84,9 @@ def build_world(ecfg: EngineConfig, verbose: bool = True,
         sky_y.block_until_ready()
     if init_gi:
         with Timer("initializing GI", verbose):
-            gi = gi_update.init_gi_chunked(bits, sdf, ecfg, sky_y=sky_y,
-                                           table=table)
+            gi = gi_update.init_gi_strided(bits, sdf, ecfg, sky_y=sky_y,
+                                           table=table,
+                                           stride=ecfg.gi_init_stride)
             gi.block_until_ready()
     else:
         gi = gi_grid.zeros(cfg)

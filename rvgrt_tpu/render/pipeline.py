@@ -149,7 +149,125 @@ def _min_expand_axis(c, q: int, off: int, n_out: int, axis: int):
     return m[tuple(sl)]
 
 
-def _cascade_start(trace_fn, rcfg, cam: CameraArrays, hy0, hrows: int):
+_HINT_BIG = 1.0e9
+
+
+def temporal_start_hint(cam: CameraArrays, prev_cam: CameraArrays,
+                        prev_t: jnp.ndarray, rcfg,
+                        out_h: int, out_w: int, *,
+                        pixel_center: bool = False,
+                        prev_pixel_center: bool = True,
+                        window: int = 2, bias: float | None = None,
+                        margin: float = 2.0,
+                        sky_start: float | None = None) -> jnp.ndarray:
+    """Conservative trace-start distances from the PREVIOUS frame's
+    hit-distance map.  The world is static (only the camera moves,
+    ``Character.cpp:56-126``), so last frame's visibility bounds this
+    frame's: a deliberate TPU addition on top of the reference's same-frame
+    ``minDist`` (StateRender.cu:182-198) - same approximation class, one
+    frame deeper.
+
+    For each current-grid pixel, its ray direction ``d`` is projected into
+    the previous frame's ray grid through the previous camera BASIS
+    (``ndc = (d.right, d.up) / d.forward`` - the renderer's ray grid is
+    NOT the VP matrix's frustum, StateRender.cu:44-45), the windowed-min
+    of ``prev_t`` is gathered there, and the bound is tightened by the
+    camera translation (triangle inequality: a point at distance t from
+    the old position is at least ``t - |dpos|`` from the new one) and
+    ``bias``.  The window-min covers grid discretization, jitter, and
+    translation parallax for ``t >= margin * (pw/2) * |dpos| / window``;
+    closer gathers are gated to 0 (no hint - the same-frame cascade
+    floor stands).  Sky lanes (``prev_t >= _HINT_BIG/2``, encoded by the
+    caller) carry no bound under translation; under a pure rotation an
+    all-sky window proves the ray misses, and ``sky_start`` (e.g. beyond
+    the world) retires it instantly.
+
+    Returns an (out_h, out_w) f32 map of start distances (0 = no hint),
+    to be ``maximum``-combined with the same-frame conservative starts.
+    """
+    bias_f = _F32(rcfg.dist_bias if bias is None else bias)
+    ph, pw = prev_t.shape
+    # separable windowed min (edge-clamped static shifts - no gathers)
+    m = prev_t
+    for ax in (0, 1):
+        acc = m
+        for dlt in range(1, window + 1):
+            acc = jnp.minimum(acc, _clamped_shift(m, dlt, ax))
+            acc = jnp.minimum(acc, _clamped_shift(m, -dlt, ax))
+        m = acc
+    dx, dy, dz = _ray_dirs(cam, out_w, out_h, pixel_center=pixel_center)
+    fo, ri, up = prev_cam.forward, prev_cam.right, prev_cam.up
+    dfo = dx * fo[0] + dy * fo[1] + dz * fo[2]
+    ahead = dfo > _F32(1e-6)
+    dsafe = jnp.where(ahead, dfo, _F32(1.0))
+    ndc_x = (dx * ri[0] + dy * ri[1] + dz * ri[2]) / dsafe \
+        - prev_cam.jitter[0]
+    ndc_y = (dx * up[0] + dy * up[1] + dz * up[2]) / dsafe \
+        - prev_cam.jitter[1]
+    poff = _F32(0.5 if prev_pixel_center else 0.0)
+    fx = (ndc_x + 1.0) * _F32(0.5 * pw) - poff
+    fy = (ndc_y + 1.0) * _F32(0.5 * ph) - poff
+    inside = (ahead & (fx >= -0.5) & (fx <= pw - 0.5)
+              & (fy >= -0.5) & (fy <= ph - 0.5))
+    ix = jnp.clip(jnp.round(fx).astype(jnp.int32), 0, pw - 1)
+    iy = jnp.clip(jnp.round(fy).astype(jnp.int32), 0, ph - 1)
+    g = m[iy, ix]
+    dp = cam.pos - prev_cam.pos
+    delta = jnp.sqrt(dp[0] ** 2 + dp[1] ** 2 + dp[2] ** 2)
+    # parallax gate: the window (in prev-grid px) covers the warp's
+    # translation error only beyond this distance
+    # (window 0 still tolerates the 0.5 px rounding of the nearest gather)
+    t_gate = _F32(margin * 0.5 * pw / max(window, 0.5)) * delta
+    sky = g >= _F32(_HINT_BIG * 0.5)
+    hint = jnp.maximum(g - delta - bias_f, 0.0)
+    hint = jnp.where(g >= t_gate, hint, 0.0)
+    if sky_start is not None:
+        # NOTE: a sky_start beyond ``miss_distance - dist_bias`` is NOT
+        # behavior-preserving: prepass-miss pixels march from ~296 in the
+        # reference semantics and can still hit distant terrain (the
+        # half-res prepass undersamples thin/far features) - measured
+        # 3.7k/512k extra misses at 4*world_size (PERF.md round 3)
+        sky_hint = jnp.where(delta < _F32(1e-5), _F32(sky_start), _F32(0.0))
+    else:
+        sky_hint = _F32(0.0)
+    hint = jnp.where(sky, sky_hint, hint)
+    return jnp.where(inside, hint, _F32(0.0))
+
+
+def temporal_hints_from_prepass(prev_half_dist: jnp.ndarray,
+                                cam: CameraArrays, prev_cam: CameraArrays,
+                                rcfg, *, window: int = 2,
+                                bias: float | None = None,
+                                margin: float = 2.0,
+                                sky_start: float | None = None):
+    """(hint_half, hint_full) for this frame from the previous frame's
+    prepass distance buffer (``FrameOutputs.half_dist`` - already the
+    per-pixel camera distance, biased by ``dist_bias`` with miss =
+    ``miss_distance``).  The natural per-frame wiring: the prepass buffer
+    is part of the frame contract, so no extra state is carried."""
+    prev_t = prev_half_dist + _F32(rcfg.dist_bias)
+    prev_t = jnp.where(prev_t >= _F32(rcfg.miss_distance - 0.5),
+                       _F32(_HINT_BIG), prev_t)
+    kw = dict(window=window, bias=bias, margin=margin, sky_start=sky_start)
+    hint_half = temporal_start_hint(
+        cam, prev_cam, prev_t, rcfg, rcfg.half_height, rcfg.half_width,
+        pixel_center=True, **kw)
+    hint_full = temporal_start_hint(
+        cam, prev_cam, prev_t, rcfg, rcfg.height, rcfg.width,
+        pixel_center=False, **kw)
+    return hint_half, hint_full
+
+
+def _take_rows(full: jnp.ndarray, y0, rows: int, n: int) -> jnp.ndarray:
+    """rows [y0, y0+rows) of a full-frame map, edge-clamped like the ray
+    grids (``_ray_dirs``/``half_res_prepass`` row conventions)."""
+    iy = jnp.clip(jnp.asarray(y0, jnp.int32)
+                  + jnp.arange(rows, dtype=jnp.int32), 0, n - 1)
+    return jnp.take(full, iy, axis=0)
+
+
+def _cascade_start(trace_fn, rcfg, cam: CameraArrays, hy0, hrows: int,
+                   hint_rows=None):
     """Start distances for the half-res prepass from an even coarser trace.
 
     The reference starts its half-res prepass at distance 0
@@ -181,10 +299,12 @@ def _cascade_start(trace_fn, rcfg, cam: CameraArrays, hy0, hrows: int):
     dy = cam.forward[1] + ndc_x * cam.right[1] + ndc_y * cam.up[1]
     dz = cam.forward[2] + ndc_x * cam.right[2] + ndc_y * cam.up[2]
     inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    cstart = jnp.zeros((crows, ccols), _F32)
+    if hint_rows is not None:
+        cstart = jnp.maximum(cstart, hint_rows[ly][:, lx])
     res = trace_fn(cam.pos[0] + jnp.zeros((crows, ccols), _F32),
                    cam.pos[1], cam.pos[2],
-                   dx * inv, dy * inv, dz * inv,
-                   jnp.zeros((crows, ccols), _F32))
+                   dx * inv, dy * inv, dz * inv, cstart)
     d = jnp.sqrt((res.px - cam.pos[0]) ** 2 + (res.py - cam.pos[1]) ** 2
                  + (res.pz - cam.pos[2]) ** 2)
     dist = jnp.where(res.hit, d, _F32(rcfg.miss_distance))
@@ -195,10 +315,13 @@ def _cascade_start(trace_fn, rcfg, cam: CameraArrays, hy0, hrows: int):
 
 def half_res_prepass(bits, sdf, cfg, rcfg, lcfg, cam: CameraArrays,
                      hy0=0, hrows: int | None = None, table=None,
-                     sky_y=None, trace_fn=None):
+                     sky_y=None, trace_fn=None, start_hint=None):
     """distApproximationKernel (StateRender.cu:255-286): distance - 8
     (miss -> 300) and hard shadow factor at half render resolution.
-    ``hy0``/``hrows`` select a half-res row slab (edge-clamped)."""
+    ``hy0``/``hrows`` select a half-res row slab (edge-clamped).
+    ``start_hint``: optional full-frame (half_height, half_width)
+    conservative start map (``temporal_start_hint``), maximum-combined
+    with the cascade start."""
     if trace_fn is None:
         trace_fn = make_trace_fn(bits, sdf, cfg, rcfg, table=table,
                                  sky_y=sky_y)
@@ -206,7 +329,13 @@ def half_res_prepass(bits, sdf, cfg, rcfg, lcfg, cam: CameraArrays,
     hrows = hh if hrows is None else hrows
     dx, dy, dz = _ray_dirs(cam, hw, hh, pixel_center=True, y0=hy0,
                            rows=hrows)
-    start = _cascade_start(trace_fn, rcfg, cam, hy0, hrows)
+    hint_rows = None
+    if start_hint is not None:
+        hint_rows = _take_rows(start_hint, hy0, hrows, hh)
+    start = _cascade_start(trace_fn, rcfg, cam, hy0, hrows,
+                           hint_rows=hint_rows)
+    if hint_rows is not None:
+        start = jnp.maximum(start, hint_rows)
     res = trace_fn(cam.pos[0] + jnp.zeros_like(dx), cam.pos[1], cam.pos[2],
                    dx, dy, dz, start)
     d = jnp.sqrt((res.px - cam.pos[0]) ** 2 + (res.py - cam.pos[1]) ** 2
@@ -294,25 +423,48 @@ def bilinear_upsample2(img: jnp.ndarray) -> jnp.ndarray:
     return axis_up(axis_up(img, 0), 1)
 
 
-def _min_dist_upsample_slab(half_halo: jnp.ndarray, slab_h: int):
-    """minDist over a half-res slab with a 1-row halo on each side
-    (rows hy0 = y0//2 - 1 .. (y0+slab_h)//2 + 1, edge-clamped)."""
-    pad = jnp.pad(half_halo, ((0, 0), (0, 1)), mode="edge")
-    m = jnp.minimum(jnp.minimum(pad[:-1, :-1], pad[:-1, 1:]),
-                    jnp.minimum(pad[1:, :-1], pad[1:, 1:]))
-    return jnp.repeat(jnp.repeat(m[1:1 + slab_h // 2], 2, axis=0), 2, axis=1)
+def _min_dist_upsample_slab(half_halo: jnp.ndarray, slab_h: int,
+                            d: int = 2):
+    """minDist over a prepass slab with a 1-row halo on each side
+    (rows hy0 = y0//d - 1 .. (y0+slab_h)//d + 1, edge-clamped).
+
+    d == 2 is the reference's exact 2x2 quad min (StateRender.cu:182-198);
+    d > 2 widens the window to the {-1, 0, 1, 2} coarse offsets (the
+    samples nearest a full-res pixel then lie up to d px away on either
+    side - the quad alone would not cover them)."""
+    if d == 2:
+        pad = jnp.pad(half_halo, ((0, 0), (0, 1)), mode="edge")
+        m = jnp.minimum(jnp.minimum(pad[:-1, :-1], pad[:-1, 1:]),
+                        jnp.minimum(pad[1:, :-1], pad[1:, 1:]))
+        return jnp.repeat(jnp.repeat(m[1:1 + slab_h // 2], 2, axis=0),
+                          2, axis=1)
+    m = half_halo
+    for ax in (0, 1):
+        acc = m
+        for dlt in (-1, 1, 2):
+            acc = jnp.minimum(acc, _clamped_shift(m, dlt, ax))
+        m = acc
+    return jnp.repeat(jnp.repeat(m[1:1 + slab_h // d], d, axis=0),
+                      d, axis=1)
 
 
-def _bilinear_upsample_slab(half_halo: jnp.ndarray, slab_h: int):
-    """Bilinear 2x upsample of a half-res slab with halo rows."""
+def _bilinear_upsample_slab(half_halo: jnp.ndarray, slab_h: int,
+                            d: int = 2):
+    """Shadow upsample of a prepass slab with halo rows.  d == 2 keeps the
+    reference's exact CUDA-texture bilinear (StateRender.cu:230); d > 2
+    uses the even-anchored linear expand (``_expand_even`` semantics) -
+    shadows are smooth, so the alignment difference is image-gated."""
     a = half_halo
-    prevx = jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
-    evenx = 0.5 * (prevx + a)
-    ax = jnp.stack([evenx, a], axis=2).reshape(a.shape[0], a.shape[1] * 2)
-    h = slab_h // 2
-    avg = 0.5 * (ax[0:h] + ax[1:h + 1])
-    cpy = ax[1:h + 1]
-    return jnp.stack([avg, cpy], axis=1).reshape(slab_h, ax.shape[1])
+    if d == 2:
+        prevx = jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
+        evenx = 0.5 * (prevx + a)
+        ax = jnp.stack([evenx, a], axis=2).reshape(a.shape[0],
+                                                   a.shape[1] * 2)
+        h = slab_h // 2
+        avg = 0.5 * (ax[0:h] + ax[1:h + 1])
+        cpy = ax[1:h + 1]
+        return jnp.stack([avg, cpy], axis=1).reshape(slab_h, ax.shape[1])
+    return _expand_even(a[1:], d, (slab_h, a.shape[1] * d))
 
 
 def _clamped_shift(c, delta: int, axis: int):
@@ -520,7 +672,8 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
                 include_gi: bool = True, gi_occ=None,
                 sky_y=None, table=None,
                 return_gbuffer: bool = False, trace_fn=None,
-                checker_parity=None) -> FrameOutputs:
+                checker_parity=None, hint_half=None,
+                hint_full=None) -> FrameOutputs:
     """Render rows [y0, y0 + slab_h) of the frame.
 
     The unit of pixel-parallel work: a full frame is one slab; a sharded
@@ -536,6 +689,12 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
     composite and passes ``checker_valid_mask`` to the upscaler.  A
     deliberate, quality-gated deviation from renderKernel's every-pixel
     contract (StateRender.cu:200-253).
+
+    ``hint_half`` / ``hint_full``: optional FULL-FRAME conservative
+    start-distance maps from the previous frame (``temporal_start_hint``
+    at the (half_height, half_width) prepass grid / the (height, width)
+    primary grid); maximum-combined with the same-frame cascade/minDist
+    starts.
     """
     cfg, rcfg, lcfg = ecfg.world, ecfg.render, ecfg.lighting
     w, h = rcfg.width, slab_h
@@ -547,24 +706,31 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
         trace_fn = make_trace_fn(bits, sdf, cfg, rcfg, table=table,
                                  sky_y=sky_y)
 
-    # ---- 1+2: half-res prepass (with halo) and conservative upsamples ----
-    hy0 = jnp.asarray(y0, jnp.int32) // 2 - 1
+    # ---- 1+2: prepass (with halo) and conservative upsamples ----
+    pd = rcfg.prepass_divisor
+    assert slab_h % pd == 0, \
+        f"slab height {slab_h} not divisible by prepass_divisor {pd}"
+    hy0 = jnp.asarray(y0, jnp.int32) // pd - 1
     # pad the halo'd row count up to a multiple of the row-tile target:
     # slab_h//2 + 2 is often nearly prime (720p full frame -> 362 = 2*181),
     # which leaves the tracer a single giant row tile and forfeits tile
     # retirement; the extra rows duplicate the clamped bottom edge and are
     # sliced off below
-    hneed = slab_h // 2 + 2
+    hneed = slab_h // pd + 2
     t = max(rcfg.trace_tile_rows, 1)
     hrows = -(-hneed // t) * t
     half_dist, half_shadow = half_res_prepass(bits, sdf, cfg, rcfg, lcfg,
                                               cam, hy0=hy0, hrows=hrows,
                                               trace_fn=trace_fn,
-                                              sky_y=sky_y)
+                                              sky_y=sky_y,
+                                              start_hint=hint_half)
     half_dist = half_dist[:hneed]
     half_shadow = half_shadow[:hneed]
-    start_dist = _min_dist_upsample_slab(half_dist, slab_h)
-    shadow_full = _bilinear_upsample_slab(half_shadow, slab_h)
+    start_dist = _min_dist_upsample_slab(half_dist, slab_h, d=pd)
+    if hint_full is not None:
+        start_dist = jnp.maximum(
+            start_dist, _take_rows(hint_full, y0, slab_h, rcfg.height))
+    shadow_full = _bilinear_upsample_slab(half_shadow, slab_h, d=pd)
 
     # ---- 3: full-res primary ----
     dx, dy, dz = _ray_dirs(cam, w, rcfg.height, pixel_center=False,
@@ -696,13 +862,15 @@ def render_frame(bits, sdf, gi, atlas, cam: CameraArrays,
                  ecfg: EngineConfig, include_gi: bool = True,
                  gi_occ=None, sky_y=None, table=None,
                  return_gbuffer: bool = False, trace_fn=None,
-                 checker_parity=None) -> FrameOutputs:
+                 checker_parity=None, hint_half=None,
+                 hint_full=None) -> FrameOutputs:
     """Full frame = one slab covering every row."""
     return render_slab(bits, sdf, gi, atlas, cam, ecfg,
                        y0=jnp.int32(0), slab_h=ecfg.render.height,
                        include_gi=include_gi, gi_occ=gi_occ, sky_y=sky_y,
                        table=table, return_gbuffer=return_gbuffer,
-                       trace_fn=trace_fn, checker_parity=checker_parity)
+                       trace_fn=trace_fn, checker_parity=checker_parity,
+                       hint_half=hint_half, hint_full=hint_full)
 
 
 def gi_composite(color, gb: GBuffer, gi, sdf, ecfg: EngineConfig,

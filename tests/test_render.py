@@ -559,3 +559,36 @@ def test_checkerboard_static_camera_converges_to_full_rate():
     mse = float(np.mean((a - b) ** 2))
     psnr = 99.0 if mse == 0 else 10.0 * math.log10(1.0 / mse)
     assert psnr > 40.0, psnr
+
+
+def test_quarter_prepass_matches_half(engine):
+    """prepass_divisor=4 (quarter-res distance/shadow prepass, a TPU perf
+    tier): conservative-start contract holds (hits match the reference
+    half-res path) and the image stays within tolerance."""
+    import jax.numpy as jnp
+
+    from rvgrt_tpu.driver.engine import camera_arrays
+
+    world = engine.world
+    ecfg = engine.ecfg
+    ch = engine.character
+    cam = camera_arrays(ch.camera, vp=ch.unjittered_view_projection,
+                        prev_vp=ch.prev_unjittered_view_projection)
+    outs = {}
+    for d in (2, 4):
+        ec = dataclasses.replace(ecfg, render=dataclasses.replace(
+            ecfg.render, prepass_divisor=d))
+        outs[d] = pipeline.render_frame(
+            world.bits, world.sdf, world.gi, world.atlas, cam, ec,
+            include_gi=False, sky_y=world.sky_y, table=world.trace_table)
+    a = np.asarray(outs[2].color)
+    b = np.asarray(outs[4].color)
+    hits2 = np.asarray(outs[2].depth) < 1.0
+    hits4 = np.asarray(outs[4].depth) < 1.0
+    assert (hits2 != hits4).mean() <= 1e-3
+    mse = float(np.mean((a - b) ** 2))
+    psnr = 99.0 if mse < 1e-12 else 10.0 * math.log10(1.0 / mse)
+    assert psnr >= 38.0, psnr
+    # the prepass buffers shrink with the divisor (contract)
+    assert outs[4].half_dist.shape == (ecfg.render.height // 4,
+                                       ecfg.render.width // 4)

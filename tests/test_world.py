@@ -212,3 +212,37 @@ def test_build_occlusion_matches_blocked_reduction():
     for mode, w in want.items():
         got = np.asarray(gi_grid.build_occlusion(sdf, cfg, mode=mode))
         np.testing.assert_array_equal(got >> 24, w.reshape(-1), err_msg=mode)
+
+
+def test_gi_init_strided_matches_full():
+    """Strided GI init (gi/update.init_gi_strided): exact at the traced
+    lattice sites, near-identical globally (sunlit-ness is smooth), and a
+    valid starting point for the progressive sweep (VERDICT r2 #8)."""
+    from rvgrt_tpu.config import EngineConfig
+    from rvgrt_tpu.driver import engine as eng_mod
+    from rvgrt_tpu.gi import update as gi_update
+
+    ecfg = EngineConfig(world=WorldConfig().with_cube(6))
+    world = eng_mod.build_world(ecfg, verbose=False, init_gi=False)
+    full = gi_update.init_gi_chunked(world.bits, world.sdf, ecfg,
+                                     sky_y=world.sky_y,
+                                     table=world.trace_table)
+    strided = gi_update.init_gi_strided(world.bits, world.sdf, ecfg,
+                                        sky_y=world.sky_y,
+                                        table=world.trace_table,
+                                        stride=(2, 2))
+    cfg = ecfg.world
+    f = np.asarray(full).reshape(cfg.gi_size_z, cfg.gi_size_y,
+                                 cfg.gi_size_x)
+    s = np.asarray(strided).reshape(cfg.gi_size_z, cfg.gi_size_y,
+                                    cfg.gi_size_x)
+    # exact at the traced lattice sites
+    np.testing.assert_array_equal(f[1::2, :, 1::2], s[1::2, :, 1::2])
+    # globally near-identical: replication only errs at shadow boundaries
+    same = (f == s).mean()
+    assert same >= 0.80, f"strided init too different: {same:.2%} identical"
+    # stride (1,1) is the chunked reference path verbatim
+    s1 = gi_update.init_gi_strided(world.bits, world.sdf, ecfg,
+                                   sky_y=world.sky_y,
+                                   table=world.trace_table, stride=(1, 1))
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(s1))
