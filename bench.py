@@ -56,6 +56,10 @@ def main():
     from rvgrt_tpu.render import pipeline
 
     cube = int(os.environ.get("BENCH_CUBE", "10"))
+    # BENCH_REF_WORLD=1: the reference's own 4096x512x4096 world
+    # (cumath.cuh:19-31) instead of the cube - the literal behavioral
+    # target.  Build is minutes-scale (8.6G voxels); opt-in.
+    ref_world = os.environ.get("BENCH_REF_WORLD", "0") == "1"
     width = int(os.environ.get("BENCH_W", "1280"))
     height = int(os.environ.get("BENCH_H", "800"))
     n_frames = int(os.environ.get("BENCH_FRAMES", "16"))
@@ -79,6 +83,11 @@ def main():
     # primary) - the superstep is not carry-HBM-bound; default off to
     # keep the incremental reference arithmetic
     slim = os.environ.get("BENCH_SLIM", "0") == "1"
+    # history-warp implementation: "pallas" = the windowed-DMA TRUE-4-tap
+    # bilinear kernel (ops/warp_kernels.py; 406 -> 34 ms at 3840x2400 vs
+    # the XLA 4-tap gather, bit-exact, probe_r11); "bilinear_shift" etc.
+    # select the XLA paths (temporal._warp_state)
+    warp_taps = os.environ.get("BENCH_WARP", "pallas")
 
     dev = jax.devices()[0]
 
@@ -96,6 +105,12 @@ def main():
     from rvgrt_tpu.config import LightingConfig
 
     rcfg = dataclasses.replace(RenderConfig(), width=width, height=height)
+    # quarter-res distance/shadow prepass (RenderConfig.prepass_divisor):
+    # primary supersteps are start-saturated (probe_r9/r10), so the
+    # half-res prepass trace pays ~3x its value; image-gated in
+    # tests/test_render.py.  BENCH_PREPASS_DIV=2 restores reference shape.
+    rcfg = dataclasses.replace(
+        rcfg, prepass_divisor=int(os.environ.get("BENCH_PREPASS_DIV", "4")))
     if fast_trace:
         # TPU-tuned tracer cadence (scripts/probe_r6.py, within-run at
         # 1280x800/1024^3): 6 DDA substeps per brick gather (bit-exact),
@@ -115,8 +130,9 @@ def main():
     # 0.6*albedo additive term.  BENCH_GI_DIV=4 restores the default.
     rcfg = dataclasses.replace(
         rcfg, gi_res_divisor=int(os.environ.get("BENCH_GI_DIV", "8")))
+    wcfg = WorldConfig() if ref_world else WorldConfig().with_cube(cube)
     ecfg = EngineConfig(
-        world=WorldConfig().with_cube(cube),
+        world=wcfg,
         render=rcfg,
         lighting=dataclasses.replace(LightingConfig(), soft_shadows=soft,
                                      soft_shadow_stride=2),
@@ -124,8 +140,14 @@ def main():
         # window at 2048^3, PERF.md); opt-in - the EngineConfig default
         # keeps reference cadence
         gi_straggler_budget=12,
+        # strided GI init (VERDICT r2 #8): trace 1/4 of the init rays,
+        # replicate; the progressive sweep refreshes every cell anyway
+        gi_init_stride=(2, 2) if os.environ.get("BENCH_GI_INIT_STRIDE",
+                                                "1") == "1" else (1, 1),
     )
-    log(f"world {2**cube}^3, {width}x{height}, gi={include_gi}, "
+    world_tag = (f"{wcfg.size_x}x{wcfg.size_y}x{wcfg.size_z}"
+                 if ref_world else f"{2**cube}^3")
+    log(f"world {world_tag}, {width}x{height}, gi={include_gi}, "
         f"upscale={upscale}, soft_shadows={soft}, fast_trace={fast_trace}")
 
     t0 = time.time()
@@ -221,7 +243,7 @@ def main():
                     return out._replace(color=hi), hi
                 hi, nstate = up_temporal.temporal_upscale(
                     out.color, out.motion, out.depth, cam.jitter, hist,
-                    valid=valid)
+                    valid=valid, warp_taps=warp_taps)
                 return out._replace(color=hi), nstate
             return out, hist
 
@@ -396,14 +418,17 @@ def main():
     sh_tag = "soft" if soft else "hard"
     op = (f"{width}x{height}+3x upscale to {3 * width}x{3 * height}"
           if upscale else f"{width}x{height}")
-    sem_tag = ("TPU-tuned cadence" if (fast_trace or soft or checker or slim)
+    sem_tag = ("TPU-tuned cadence"
+               if (fast_trace or soft or checker or slim
+                   or rcfg.prepass_divisor != 2)
                else "reference-exact cadence")
     if checker:
         sem_tag = "checkerboard primaries, " + sem_tag
     print(json.dumps({
         "metric": f"Mrays/s at {op} hybrid SDF+DDA trace "
-                  f"({2**cube}^3 world, gi={gi_tag} div{rcfg.gi_res_divisor}"
-                  f", {sh_tag} shadows, {sem_tag}, "
+                  f"({world_tag} world, gi={gi_tag} div{rcfg.gi_res_divisor}"
+                  f", prepass 1/{rcfg.prepass_divisor}, "
+                  f"{sh_tag} shadows, {sem_tag}, "
                   f"single chip, pipelined dispatch)",
         "value": mrays,
         "unit": "Mrays/s",

@@ -47,13 +47,20 @@ class TemporalState(NamedTuple):
     """Carried across frames; reset to zeros on camera cuts."""
     history: jnp.ndarray  # (SCALE*h, SCALE*w, 3) f32 in [0, 1]
     conf: jnp.ndarray     # (SCALE*h, SCALE*w) f32 effective sample count
+    # previous LOW-res clip depth, for depth-based disocclusion rejection
+    # (``depth_reject``); zeros-shaped (1, 1) sentinel when unused so the
+    # pytree structure stays stable across both modes
+    depth: jnp.ndarray = None  # (h, w) f32
 
 
-def init_state(height: int, width: int) -> TemporalState:
+def init_state(height: int, width: int,
+               depth_reject: bool = False) -> TemporalState:
     """Zero state for a ``height x width`` LOW-res stream."""
     return TemporalState(
         history=jnp.zeros((height * SCALE, width * SCALE, 3), _F32),
-        conf=jnp.zeros((height * SCALE, width * SCALE), _F32))
+        conf=jnp.zeros((height * SCALE, width * SCALE), _F32),
+        depth=(jnp.ones((height, width), _F32) if depth_reject
+               else jnp.zeros((1, 1), _F32)))
 
 
 def _shift_cf(img_cf: jnp.ndarray, m: int, axis: int) -> jnp.ndarray:
@@ -191,6 +198,16 @@ def _warp_state(state: TemporalState, motion_lowres: jnp.ndarray,
     packed = _pack_rgbn(state.history, state.conf)
     x = jnp.clip(xs, 0.0, hw - 1.0)
     y = jnp.clip(ys, 0.0, hh - 1.0)
+    if taps == "pallas":
+        # TRUE 4-tap bilinear warp as a Pallas kernel: per-tile window DMA
+        # + in-register lane shuffles instead of the display-res HBM
+        # gather (ops/warp_kernels.py).  Gated against the XLA "bilinear"
+        # path in tests (same 4 taps, same weights); the out-of-window
+        # count is dropped here - probes surface it.
+        from rvgrt_tpu.ops import warp_kernels
+
+        planes, _ = warp_kernels.warp_packed_bilinear(packed, x, y)
+        return planes[:3], planes[3] * _F32(_CONF_MAX) * inside
     if taps == "nearest":
         # 1 gather instead of 4 (~456 -> ~130 ms at 3840x2400): a <=0.5 px
         # resample shift per frame, for perf-first operating points
@@ -442,13 +459,14 @@ def temporal_upscale(color: jnp.ndarray, motion: jnp.ndarray,
                      gamma_static: float = 1.5, gamma_moving: float = 0.6,
                      beta_static: float = 8.0, beta_moving: float = 40.0,
                      adapt_rate: float = 8.0,
-                     valid=None, invalid_weight: float = 0.05):
+                     valid=None, invalid_weight: float = 0.05,
+                     depth_reject: bool = False,
+                     depth_tau: float = 0.25,
+                     depth_conf: float = 0.1):
     """One frame of temporal 3x super-resolution.
 
     Returns ``(out, new_state)`` with ``out`` (SCALE*h, SCALE*w, 3).  The
-    same input contract as the learned net (``model.upscale``); ``depth``
-    is accepted for contract parity (motion already encodes reprojection;
-    depth-based disocclusion tests are future work).
+    same input contract as the learned net (``model.upscale``).
 
     ``valid``: optional (h, w) bool - True where this frame actually
     traced the low-res pixel (checkerboard rendering,
@@ -457,13 +475,45 @@ def temporal_upscale(color: jnp.ndarray, motion: jnp.ndarray,
     dominates wherever it exists, and the renderer's neighbor-fill is
     only used where there is no history at all (camera cuts,
     disocclusions).
+
+    ``depth_reject``: depth-based disocclusion rejection (the reference
+    tags depth for DLSS for exactly this - ``main.cpp:489-495``).  The
+    previous LOW-res clip depth (carried in ``state.depth``; init with
+    ``init_state(depth_reject=True)``) is warped by the motion field (one
+    low-res nearest gather) and compared in linearized units against this
+    frame's depth; history confidence drops to ``depth_conf`` x where they
+    disagree by more than ``depth_tau`` relative - geometry appeared or
+    vanished there, so the color history is stale regardless of what the
+    variance clamp thinks.
     """
-    del depth
     h, w = color.shape[0], color.shape[1]
 
     cur = jitter_upsample(color, jitter_ndc)            # (3, H, W)
     hist, n_prev = _warp_state(state, motion, taps=warp_taps,
                                motion_decay=motion_decay)
+
+    if depth_reject:
+        # warp prev low-res depth by the same motion convention as the
+        # history warp (one (h, w) nearest gather)
+        xs = jnp.arange(w, dtype=_F32)[None, :] - motion[..., 0] \
+            * _F32(0.5 * w)
+        ys = jnp.arange(h, dtype=_F32)[:, None] - motion[..., 1] \
+            * _F32(0.5 * h)
+        inside = ((xs >= 0.0) & (xs <= w - 1.0)
+                  & (ys >= 0.0) & (ys <= h - 1.0))
+        xi = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, h - 1)
+        d_prev = state.depth[yi, xi]
+        # linearize the GL-style clip depth (perspectiveRH_NO: z/w in
+        # [-1, 1], -> 1 at far): l ~ 1/(1+eps - d) is monotone in view
+        # depth and turns the relative test into a scale-free one
+        lw = 1.0 / (_F32(1.001) - jnp.minimum(d_prev, 1.0))
+        lc = 1.0 / (_F32(1.001) - jnp.minimum(depth, 1.0))
+        occl = inside & (jnp.abs(lw - lc)
+                         > _F32(depth_tau) * jnp.maximum(lw, lc))
+        keep = jnp.where(occl, _F32(depth_conf), _F32(1.0))
+        keep = jnp.repeat(jnp.repeat(keep, SCALE, axis=0), SCALE, axis=1)
+        n_prev = n_prev * keep
 
     # motion-adaptive rectification: a STILL region's history is its best
     # detail source (wide box admits accumulated sub-pixel detail, soft
@@ -515,4 +565,5 @@ def temporal_upscale(color: jnp.ndarray, motion: jnp.ndarray,
     out_cf = jnp.clip(out_cf, 0.0, 1.0)
     n_new = jnp.minimum(den, _F32(_CONF_MAX))
     out = out_cf.transpose(1, 2, 0)
-    return out, TemporalState(history=out, conf=n_new)
+    nd = depth if depth_reject else state.depth
+    return out, TemporalState(history=out, conf=n_new, depth=nd)

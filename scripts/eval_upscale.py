@@ -52,6 +52,9 @@ def main():
     p.add_argument("--decay", nargs="*", type=float, default=[0.35],
                    help="motion-decay values to evaluate (crossed with "
                         "the first --taps entry)")
+    p.add_argument("--depth-reject", action="store_true",
+                   help="also evaluate the accumulator with depth-based "
+                        "disocclusion rejection (temporal.py depth_reject)")
     p.add_argument("--jitter9", action="store_true",
                    help="drive the renderer with the 9-phase full-"
                         "coverage jitter (camera.phase_jitter_sequence(3)) "
@@ -120,16 +123,20 @@ def main():
     base = report("bilinear", run_bilinear)
 
     tp = base
-    variants = [(t, args.decay[0]) for t in args.taps]
-    variants += [(args.taps[0], d) for d in args.decay[1:]]
-    for taps, decay in variants:
-        t_up = jax.jit(lambda c, m, d, j, s, taps=taps, decay=decay:
+    variants = [(t, args.decay[0], False) for t in args.taps]
+    variants += [(args.taps[0], d, False) for d in args.decay[1:]]
+    if args.depth_reject:
+        variants += [(args.taps[0], args.decay[0], True)]
+    for taps, decay, dr in variants:
+        t_up = jax.jit(lambda c, m, d, j, s, taps=taps, decay=decay, dr=dr:
                        temporal.temporal_upscale(c, m, d, j, s,
                                                  warp_taps=taps,
-                                                 motion_decay=decay))
+                                                 motion_decay=decay,
+                                                 depth_reject=dr))
 
-        def run_temporal(seg, t_up=t_up):
-            state = temporal.init_state(args.low_h, args.low_w)
+        def run_temporal(seg, t_up=t_up, dr=dr):
+            state = temporal.init_state(args.low_h, args.low_w,
+                                        depth_reject=dr)
             outs = []
             for s in seg:
                 out, state = t_up(s.color, s.motion, s.depth, s.jitter,
@@ -137,8 +144,9 @@ def main():
                 outs.append(out)
             return outs
 
-        got = report(f"temporal[{taps} d={decay}]", run_temporal)
-        if (taps, decay) == variants[0]:
+        tag = f"temporal[{taps} d={decay}{' +depth' if dr else ''}]"
+        got = report(tag, run_temporal)
+        if (taps, decay, dr) == variants[0]:
             tp = got
 
     for path in args.net:
