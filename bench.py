@@ -359,7 +359,10 @@ def main():
 
         # ---- ray accounting (per frame, from static lane counts) ----
         w_, h_ = ec.render.width, ec.render.height
-        hw, hh = w_ // 2, h_ // 2
+        # actual prepass grid (RenderConfig.half_width = width //
+        # prepass_divisor): at the quarter-res prepass tier the old
+        # hardcoded w_//2 overcounted prepass rays 4x
+        hw, hh = ec.render.half_width, ec.render.half_height
         q = ec.render.prepass_cascade
         rays = {
             "primary": (w_ * h_) // 2 if ck else w_ * h_,

@@ -120,7 +120,8 @@ def render_frame_multislice(bits, sdf, gi, atlas, cam: CameraArrays,
 
 
 @functools.lru_cache(maxsize=None)
-def _temporal_multislice_jit(h: int, w: int, mesh: Mesh):
+def _temporal_multislice_jit(h: int, w: int, mesh: Mesh,
+                             warp_taps: str = "bilinear_shift"):
     """Temporal upscale with display rows banded over BOTH mesh axes.
 
     Same slab kernel as ``sharding.temporal_upscale_sharded``; the packed
@@ -141,7 +142,8 @@ def _temporal_multislice_jit(h: int, w: int, mesh: Mesh):
         ch = jax.lax.dynamic_slice_in_dim(cpad, lo0, n_lo + 3, axis=0)
         mh = jax.lax.dynamic_slice_in_dim(mpad, lo0, n_lo + 2, axis=0)
         return temporal.temporal_upscale_slab(ch, mh, jit_ndc, packed,
-                                              lo0, n_lo)
+                                              lo0, n_lo,
+                                              warp_taps=warp_taps)
 
     rows = P(("slice", "chip"))
     fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(), P(), P(), P()),
@@ -156,12 +158,13 @@ def _temporal_multislice_jit(h: int, w: int, mesh: Mesh):
 
 
 def temporal_upscale_multislice(color, motion, jitter_ndc, packed,
-                                mesh: Mesh):
+                                mesh: Mesh,
+                                warp_taps: str = "bilinear_shift"):
     """3x temporal super-resolution over the ('slice', 'chip') mesh; see
     ``sharding.temporal_upscale_sharded`` for the state contract."""
     h, w = color.shape[0], color.shape[1]
-    return _temporal_multislice_jit(h, w, mesh)(color, motion, jitter_ndc,
-                                                packed)
+    return _temporal_multislice_jit(h, w, mesh, warp_taps)(
+        color, motion, jitter_ndc, packed)
 
 
 @functools.lru_cache(maxsize=None)

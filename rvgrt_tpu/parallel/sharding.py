@@ -104,22 +104,23 @@ def _update_gi_sharded_jit(ecfg: EngineConfig, mesh: Mesh):
     import dataclasses
     sub_ecfg = dataclasses.replace(ecfg, gi_rays_per_frame=per_dev)
 
-    def shard_fn(gi, bits, sdf, atlas, frame, offset):
+    def shard_fn(gi, bits, sdf, atlas, frame, offset, sky_y, table):
         idx = jax.lax.axis_index("rays")
         my_off = offset + idx.astype(jnp.int32) * per_dev
         # compute this device's updated window slice
         updated = gi_update.update_gi(gi, bits, sdf, atlas, sub_ecfg,
-                                      frame, my_off)
+                                      frame, my_off, sky_y=sky_y,
+                                      table=table)
         window = jax.lax.dynamic_slice(updated, (my_off,), (per_dev,))
         return window
 
     rep = P()
     fn = shard_map(shard_fn, mesh=mesh,
-                   in_specs=(rep, rep, rep, rep, rep, rep),
+                   in_specs=(rep, rep, rep, rep, rep, rep, rep, rep),
                    out_specs=P("rays"))
 
-    def apply(gi, bits, sdf, atlas, frame, offset):
-        windows = fn(gi, bits, sdf, atlas, frame, offset)
+    def apply(gi, bits, sdf, atlas, frame, offset, sky_y, table):
+        windows = fn(gi, bits, sdf, atlas, frame, offset, sky_y, table)
         # windows: (n,) sharded; write the full window back into the grid
         return jax.lax.dynamic_update_slice(gi, windows, (offset,))
 
@@ -127,13 +128,19 @@ def _update_gi_sharded_jit(ecfg: EngineConfig, mesh: Mesh):
 
 
 def update_gi_sharded(gi, bits, sdf, atlas, ecfg: EngineConfig, frame,
-                      offset, mesh: Mesh):
+                      offset, mesh: Mesh, sky_y=None, table=None):
     """Distributed progressive GI: each device updates a sub-window of the
     round-robin cell slice, then the shards are all-gathered and written
-    back with one dynamic_update_slice (replicated grid)."""
+    back with one dynamic_update_slice (replicated grid).
+
+    Pass the world's ``sky_y``/``trace_table`` (replicated): without them
+    every sharded GI frame re-traces table-less - the brick gather table
+    (World.trace_table) must be built once per world and passed through
+    (PERF.md), on the sharded path exactly as on the single-chip one."""
     return _update_gi_sharded_jit(ecfg, mesh)(gi, bits, sdf, atlas,
                                               jnp.asarray(frame),
-                                              jnp.asarray(offset))
+                                              jnp.asarray(offset),
+                                              sky_y, table)
 
 
 def replicate(mesh: Mesh, *arrays):
@@ -143,7 +150,8 @@ def replicate(mesh: Mesh, *arrays):
 
 
 @functools.lru_cache(maxsize=None)
-def _temporal_sharded_jit(h: int, w: int, mesh: Mesh):
+def _temporal_sharded_jit(h: int, w: int, mesh: Mesh,
+                          warp_taps: str = "bilinear_shift"):
     """Cached jitted shard_map for the temporal upscaler at one shape."""
     from rvgrt_tpu.upscale import temporal
 
@@ -157,7 +165,8 @@ def _temporal_sharded_jit(h: int, w: int, mesh: Mesh):
         ch = jax.lax.dynamic_slice_in_dim(cpad, lo0, n_lo + 3, axis=0)
         mh = jax.lax.dynamic_slice_in_dim(mpad, lo0, n_lo + 2, axis=0)
         return temporal.temporal_upscale_slab(ch, mh, jit_ndc, packed,
-                                              lo0, n_lo)
+                                              lo0, n_lo,
+                                              warp_taps=warp_taps)
 
     fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(), P(), P(), P()),
                    out_specs=(P("rays"), P("rays")))
@@ -173,7 +182,8 @@ def _temporal_sharded_jit(h: int, w: int, mesh: Mesh):
     return jax.jit(apply)
 
 
-def temporal_upscale_sharded(color, motion, jitter_ndc, packed, mesh: Mesh):
+def temporal_upscale_sharded(color, motion, jitter_ndc, packed, mesh: Mesh,
+                             warp_taps: str = "bilinear_shift"):
     """Temporal 3x super-resolution with DISPLAY rows sharded over the mesh.
 
     The accumulator's state travels as the packed (H, W) uint32 word
@@ -190,5 +200,5 @@ def temporal_upscale_sharded(color, motion, jitter_ndc, packed, mesh: Mesh):
     replicated is inserted automatically under jit).
     """
     h, w = color.shape[0], color.shape[1]
-    return _temporal_sharded_jit(h, w, mesh)(color, motion, jitter_ndc,
-                                             packed)
+    return _temporal_sharded_jit(h, w, mesh, warp_taps)(color, motion,
+                                                        jitter_ndc, packed)

@@ -283,22 +283,12 @@ def _warp_state(state: TemporalState, motion_lowres: jnp.ndarray,
                       * (fy if m == 1 else 1.0 - fy))[0]
                 n_acc = n_acc + bw * c[3]
         return jnp.clip(rgb, 0.0, 1.0), n_acc * inside
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, hw - 1)
-    y1 = jnp.minimum(y0 + 1, hh - 1)
-    fx = (x - x0)
-    fy = (y - y0)
-    rgb = jnp.zeros((3, hh, hw), _F32)
-    n = jnp.zeros((hh, hw), _F32)
-    for (yi, xi, wgt) in ((y0, x0, (1 - fx) * (1 - fy)),
-                          (y0, x1, fx * (1 - fy)),
-                          (y1, x0, (1 - fx) * fy),
-                          (y1, x1, fx * fy)):
-        r, c = _unpack_rgbn_cf(packed[yi, xi])
-        rgb = rgb + wgt[None] * r
-        n = n + wgt * c
-    return rgb, n * inside
+    # "bilinear": exact 4-tap gather, shared with the Pallas kernel's XLA
+    # oracle so the full-frame and slab (sharded) paths are bit-identical
+    from rvgrt_tpu.ops import warp_kernels
+
+    planes, _ = warp_kernels.warp_packed_bilinear_xla(packed, x, y)
+    return planes[:3], planes[3] * _F32(_CONF_MAX) * inside
 
 
 def _current_weight(jitter_ndc: jnp.ndarray, height: int, width: int,
@@ -342,6 +332,7 @@ def temporal_upscale_slab(color_halo: jnp.ndarray,
                           jitter_ndc: jnp.ndarray, packed_full: jnp.ndarray,
                           lo0, n_lo: int, *,
                           sigma: float = 0.9, w_min: float = 0.08,
+                          warp_taps: str = "bilinear_shift",
                           motion_decay: float = 0.35,
                           gamma_static: float = 1.5,
                           gamma_moving: float = 0.6,
@@ -396,22 +387,45 @@ def temporal_upscale_slab(color_halo: jnp.ndarray,
     inside = inside * jnp.exp(-mpx_w * _F32(motion_decay))
     x = jnp.clip(xs, 0.0, hw - 1.0)
     y = jnp.clip(ys, 0.0, hh - 1.0)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0i = jnp.floor(y).astype(jnp.int32)
-    fx = (x - x0)[None]
-    fy = (y - y0i)[None]
-    rgb00, n00 = _unpack_rgbn_cf(packed_full[y0i, x0])
-    v00 = jnp.concatenate([rgb00, n00[None]], axis=0)
-    v01 = _shift_cf(v00, 1, axis=2)
-    v10 = v00[:, 1:]
-    v11 = v01[:, 1:]
-    v00i = v00[:, :-1]
-    v01i = v01[:, :-1]
-    fx_i = fx[:, :-1]
-    fy_i = fy[:, :-1]
-    v = ((1 - fx_i) * (1 - fy_i) * v00i + fx_i * (1 - fy_i) * v01i
-         + (1 - fx_i) * fy_i * v10 + fx_i * fy_i * v11)
-    hist, n_prev = v[:3], v[3] * inside[:-1]
+    if warp_taps in ("pallas", "bilinear"):
+        # TRUE 4-tap warp: the Pallas windowed-DMA kernel on TPU (the
+        # same kernel the full-frame path runs - measured 106.8 -> ~35 ms
+        # per mesh=1 slab call at 3840x2400, scripts/probe_v5e8.py) or
+        # the XLA oracle on CPU.  The y+1 taps are gathered, so the
+        # +1-row halo of the shift path is unused here.
+        from rvgrt_tpu.ops import warp_kernels
+
+        x_s, y_s = x[:slab_h], y[:slab_h]
+        if warp_taps == "pallas":
+            pad = (-slab_h) % 8
+            if pad:
+                x_s = jnp.concatenate([x_s, jnp.repeat(x_s[-1:], pad, 0)])
+                y_s = jnp.concatenate([y_s, jnp.repeat(y_s[-1:], pad, 0)])
+            planes, _ = warp_kernels.warp_packed_bilinear(packed_full,
+                                                          x_s, y_s)
+            planes = planes[:, :slab_h]
+        else:
+            planes, _ = warp_kernels.warp_packed_bilinear_xla(packed_full,
+                                                              x_s, y_s)
+        hist = planes[:3]
+        n_prev = planes[3] * _F32(_CONF_MAX) * inside[:-1]
+    else:  # "bilinear_shift": 1 gather + output-space shifted +1 taps
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0i = jnp.floor(y).astype(jnp.int32)
+        fx = (x - x0)[None]
+        fy = (y - y0i)[None]
+        rgb00, n00 = _unpack_rgbn_cf(packed_full[y0i, x0])
+        v00 = jnp.concatenate([rgb00, n00[None]], axis=0)
+        v01 = _shift_cf(v00, 1, axis=2)
+        v10 = v00[:, 1:]
+        v11 = v01[:, 1:]
+        v00i = v00[:, :-1]
+        v01i = v01[:, :-1]
+        fx_i = fx[:, :-1]
+        fy_i = fy[:, :-1]
+        v = ((1 - fx_i) * (1 - fy_i) * v00i + fx_i * (1 - fy_i) * v01i
+             + (1 - fx_i) * fy_i * v10 + fx_i * fy_i * v11)
+        hist, n_prev = v[:3], v[3] * inside[:-1]
 
     # --- motion-adaptive rectification (dilated over the true halo) ---
     mpx = jnp.sqrt((motion_halo[..., 0] * _F32(0.5 * hw)) ** 2

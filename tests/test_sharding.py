@@ -125,6 +125,51 @@ def test_temporal_upscale_sharded_matches_single_device():
                 == np.asarray(temporal.pack_state(state))).all()
 
 
+def test_temporal_upscale_sharded_true_taps_matches_full():
+    """Slab warp_taps='bilinear' (the XLA twin of the Pallas kernel the
+    production mesh path runs) == full-frame temporal_upscale with the
+    true 4-tap warp, closed loop on the 8-virtual-CPU mesh."""
+    from rvgrt_tpu.upscale import temporal
+
+    rng = np.random.default_rng(11)
+    h, w = 32, 40
+    mesh = sharding.make_mesh(8)
+
+    state = temporal.TemporalState(
+        history=jnp.asarray(rng.random((3 * h, 3 * w, 3)), jnp.float32),
+        conf=jnp.asarray(rng.random((3 * h, 3 * w)) * 8, jnp.float32))
+    packed_sh = temporal.pack_state(state)
+    for i in range(2):
+        color = jnp.asarray(rng.random((h, w, 3)), jnp.float32)
+        motion = jnp.asarray(rng.normal(0, 0.02, (h, w, 2)), jnp.float32)
+        depth = jnp.ones((h, w), jnp.float32)
+        jit = jnp.asarray([(0.3 - i) / w, (0.2 * i - 0.4) / h], jnp.float32)
+
+        out_full, state = temporal.temporal_upscale(
+            color, motion, depth, jit, state, warp_taps="bilinear")
+        out_sh, packed_sh = sharding.temporal_upscale_sharded(
+            color, motion, jit, packed_sh, mesh, warp_taps="bilinear")
+
+        a = np.asarray(out_full)
+        b = np.asarray(out_sh)
+        # the two graph shapes (full-frame vs dynamic-slice slab) let the
+        # compiler contract FMAs differently, so f32 outputs differ in the
+        # last ulp and the truncating RGBA8 quantizer can flip a byte at
+        # k/255 boundaries; closed-loop that compounds to ~1 quantization
+        # step (1/255) of output difference.  The production loop runs ONE
+        # path consistently (no cross-path drift exists to bound);
+        # bit-identity is gated on the bilinear_shift pair above where the
+        # graphs are identical.
+        assert np.abs(a - b).max() <= 1.5 / 255, np.abs(a - b).max()
+        pa = np.asarray(packed_sh)
+        pb = np.asarray(temporal.pack_state(state))
+        for sh in (0, 8, 16, 24):
+            da = (pa >> sh) & 0xFF
+            db = (pb >> sh) & 0xFF
+            assert np.abs(da.astype(np.int32)
+                          - db.astype(np.int32)).max() <= 2
+
+
 def test_update_gi_sharded_matches_single_device(world64):
     cfg, bits, sdf, atlas = world64
     # window + offset must respect the advance_offset contract (no wrap:
