@@ -212,6 +212,81 @@ def init_gi_strided(bits, sdf, ecfg: EngineConfig, sky_y=None, table=None,
     return words.reshape(-1)
 
 
+def _shift_zero(a: jnp.ndarray, oz: int, ox: int) -> jnp.ndarray:
+    """out[z, x] = a[z + oz, x + ox], zero beyond the borders (outside the
+    world there are no occluders)."""
+    if oz == 0 and ox == 0:
+        return a
+    pz_lo, pz_hi = max(-oz, 0), max(oz, 0)
+    px_lo, px_hi = max(-ox, 0), max(ox, 0)
+    p = jnp.pad(a, ((pz_lo, pz_hi), (px_lo, px_hi)))
+    return p[oz + pz_lo:oz + pz_lo + a.shape[0],
+             ox + px_lo:ox + px_lo + a.shape[1]]
+
+
+def sun_shadow_height(height: jnp.ndarray, ecfg: EngineConfig
+                      ) -> jnp.ndarray:
+    """(size_z, size_x) f32 shadow height: a point at (x, y, z) has
+    heightfield sun visibility iff ``y >= S[z, x]``.
+
+    S(p) = max over t >= 0 of (H(p + t*u) - t*rise), where u is the sun
+    direction's horizontal unit vector and rise its slope - classic
+    horizon mapping, computed with 4 linear near-field steps + log-
+    doubling for the far field (offsets rounded to voxels per step; the
+    rounding is an init-prior approximation, not a render-path one).
+    """
+    cfg, lcfg = ecfg.world, ecfg.lighting
+    s = lcfg.sun_dir
+    hn = math.sqrt(s[0] * s[0] + s[2] * s[2])
+    assert s[1] > 0 and hn > 0, s
+    ux, uz = s[0] / hn, s[2] / hn
+    rise = s[1] / hn
+    S = height.astype(_F32)
+    H = S
+    for t in (1, 2, 3):
+        S = jnp.maximum(S, _shift_zero(H, round(t * uz), round(t * ux))
+                        - _F32(t * rise))
+    d = 4.0
+    while d * rise < cfg.size_y:
+        S = jnp.maximum(S, _shift_zero(S, round(d * uz), round(d * ux))
+                        - _F32(d * rise))
+        d *= 2.0
+    return S
+
+
+def init_gi_heightfield(bits, ecfg: EngineConfig,
+                        height: jnp.ndarray | None = None) -> jax.Array:
+    """Ray-free GI init from the terrain's sun-shadow heightfield.
+
+    The reference's ``InitialGlobalIlluminate`` (CoarseArray.cu:211-245)
+    traces one sun-shadow ray per GI cell - 2 rays/cell x 134M cells at
+    the 4096x512x4096 world, the dominant world-build phase (VERDICT r2
+    #8: GI init was ~60% of the warm 1024^3 build).  For everything
+    above ground, that ray answers a heightfield visibility query, which
+    horizon mapping answers for ALL cells in O(log height) shifted-max
+    passes over the 2-D height map - no rays at all.  Differences vs the
+    traced init are confined to sun-aligned cave openings/overhangs
+    (mismatch fraction gated in tests/test_world.py); the progressive
+    sweep (``update_gi``) re-traces every cell within
+    ``gi_sweep_frames`` frames anyway, so the init is a prior, not a
+    steady state."""
+    from rvgrt_tpu.world import voxel_grid
+
+    cfg, lcfg = ecfg.world, ecfg.lighting
+    if height is None:
+        height = voxel_grid.column_height(bits, cfg)
+    S = sun_shadow_height(height, ecfg)
+    c = cfg.gi_coarseness
+    # GI cell column centers sit at (g + 0.5) * c -> nearest column c//2
+    S_g = S[c // 2::c, c // 2::c]                      # (gz, gx)
+    wy = (jnp.arange(cfg.gi_size_y, dtype=_F32) + 0.5) * _F32(c)
+    lit = wy[None, :, None] >= S_g[:, None, :]         # (gz, gy, gx)
+    r = jnp.where(lit, _F32(lcfg.sun_color[0]), 0.0)
+    g = jnp.where(lit, _F32(lcfg.sun_color[1]), 0.0)
+    b = jnp.where(lit, _F32(lcfg.sun_color[2]), 0.0)
+    return gi_grid.pack_rgba8(r, g, b).reshape(-1)
+
+
 def update_gi(gi: jax.Array, bits, sdf, atlas, ecfg: EngineConfig,
               frame: jax.Array, offset: jax.Array, sky_y=None,
               table=None, return_stats: bool = False) -> jax.Array:

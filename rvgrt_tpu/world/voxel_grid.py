@@ -142,6 +142,23 @@ def sky_limit(bits: jax.Array, cfg: WorldConfig) -> jax.Array:
     return top.astype(jnp.float32)
 
 
+def column_height(bits: jax.Array, cfg: WorldConfig) -> jax.Array:
+    """(size_z, size_x) i32: 1 + the highest solid voxel's y per column
+    (0 = empty column) - the per-column refinement of ``sky_limit``.
+
+    Feeds the heightfield sun-shadow GI init (``gi.update.
+    init_gi_heightfield``).  Assembled with 32 strided column writes
+    instead of a (z, x/32, 32) -> (z, x) reshape, whose size-32 minor dim
+    tile-pads 4x on TPU (PERF.md layout notes)."""
+    words = bits.reshape(cfg.size_z, cfg.size_y, cfg.size_x // 32)
+    ylev = jnp.arange(cfg.size_y, dtype=_I32)[None, :, None] + 1
+    out = jnp.zeros((cfg.size_z, cfg.size_x), _I32)
+    for b in range(32):
+        anyb = ((words >> jnp.uint32(b)) & jnp.uint32(1)).astype(_I32)
+        out = out.at[:, b::32].set(jnp.max(anyb * ylev, axis=1))
+    return out
+
+
 def coarse_occupancy(bits: jax.Array, cfg: WorldConfig,
                      coarseness: int | None = None) -> jax.Array:
     """(SZ, SY, SX) bool: coarse cell solid iff any fine voxel inside is
