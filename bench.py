@@ -83,6 +83,10 @@ def main():
     # primary) - the superstep is not carry-HBM-bound; default off to
     # keep the incremental reference arithmetic
     slim = os.environ.get("BENCH_SLIM", "0") == "1"
+    # GI window cadence: 2 = update the progressive window every other
+    # frame (GI update measured 68 ms/window at the r4 probe - the sweep
+    # period doubles, the steady state is unchanged)
+    gi_cadence = max(int(os.environ.get("BENCH_GI_CADENCE", "2")), 1)
     # history-warp implementation: "pallas" = the windowed-DMA TRUE-4-tap
     # bilinear kernel (ops/warp_kernels.py; 406 -> 34 ms at 3840x2400 vs
     # the XLA 4-tap gather, bit-exact, probe_r11); "bilinear_shift" etc.
@@ -109,8 +113,23 @@ def main():
     # primary supersteps are start-saturated (probe_r9/r10), so the
     # half-res prepass trace pays ~3x its value; image-gated in
     # tests/test_render.py.  BENCH_PREPASS_DIV=2 restores reference shape.
+    # round-4 default: eighth-res prepass + soft-shadow sites DECOUPLED
+    # from the prepass grid (every 4th full-res primary hit,
+    # RenderConfig.shadow_site_divisor) - the prepass then only provides
+    # conservative starts.  probe_r12 within-run: base frame 283.7 ->
+    # 260.6 ms, 0 hit mismatches, 42.5 dB vs the round-3 d4+coupled
+    # default (itself image-gated against the reference d2 shape).
+    # BENCH_PREPASS_DIV=2 + BENCH_SHADOW_SITES=0 restores reference shape.
     rcfg = dataclasses.replace(
-        rcfg, prepass_divisor=int(os.environ.get("BENCH_PREPASS_DIV", "4")))
+        rcfg,
+        prepass_divisor=int(os.environ.get("BENCH_PREPASS_DIV",
+                                           "8" if soft else "4")),
+        shadow_site_divisor=int(os.environ.get("BENCH_SHADOW_SITES",
+                                               "4" if soft else "0")))
+    # steps_per_check=1 at the checker batch: 283.5 vs 288.8 ms at spc=2
+    # (probe_r12, bit-exact cadence knob); BENCH_SPC=2 restores
+    rcfg = dataclasses.replace(
+        rcfg, steps_per_check=int(os.environ.get("BENCH_SPC", "1")))
     if fast_trace:
         # TPU-tuned tracer cadence (scripts/probe_r6.py, within-run at
         # 1280x800/1024^3): 6 DDA substeps per brick gather (bit-exact),
@@ -303,7 +322,11 @@ def main():
 
         def frame(i, cam, gi, offset, hist, acc):
             par = par_dev[i & 1]
-            if include_gi:
+            # GI cadence: run the progressive window every Nth frame (the
+            # reference's contract is the ~512-frame full-grid sweep
+            # PERIOD, not the per-frame call; cadence 2 doubles the sweep
+            # period - a tagged deviation, BENCH_GI_CADENCE=1 restores)
+            if include_gi and i % gi_cadence == 0:
                 gi = gi_j(gi, world.bits, world.sdf, world.atlas,
                           fr0, off_dev[offset],
                           world.sky_y, world.trace_table)
@@ -323,7 +346,11 @@ def main():
         out, gi, hist, acc = frame(0, cams[0], gi, offset, hist0, acc)
         float(acc)
         log(f"[{label}] compile+first frame: {time.time() - t0:.1f}s")
-        offset = gi_update.advance_offset(offset, ec)
+        # the offset advances only right before a frame that will run its
+        # GI window (frame i runs GI iff i % gi_cadence == 0) so the
+        # round-robin sweep stays gap-free at any cadence
+        if 1 % gi_cadence == 0:
+            offset = gi_update.advance_offset(offset, ec)
         t0 = time.time()
         out, gi, hist, acc = frame(1, cams[1], gi, offset, hist, acc)
         wdepth = out.depth
@@ -334,7 +361,8 @@ def main():
         # timed: dispatch all frames back-to-back, sync once at the end
         t0 = time.time()
         for i in range(frames):
-            offset = gi_update.advance_offset(offset, ec)
+            if (2 + i) % gi_cadence == 0:
+                offset = gi_update.advance_offset(offset, ec)
             out, gi, hist, acc = frame(2 + i, cams[2 + i], gi, offset,
                                        hist, acc)
         float(acc)  # one readback closes the pipeline
@@ -377,8 +405,9 @@ def main():
         }
         if include_gi:
             # reference rate: 2 rays (sun + bounce) per updated GI cell
-            # (GlobalIlluminate, CoarseArray.cu:273-355)
-            rays["gi_update"] = 2 * ec.gi_window
+            # (GlobalIlluminate, CoarseArray.cu:273-355), amortized over
+            # the update cadence
+            rays["gi_update"] = 2 * ec.gi_window // gi_cadence
         total_rays = sum(rays.values())
         mrays = total_rays * fps / 1e6
         log(f"[{label}] {frames} frames in {dt:.2f}s -> {fps:.2f} FPS, "
@@ -427,6 +456,8 @@ def main():
                else "reference-exact cadence")
     if checker:
         sem_tag = "checkerboard primaries, " + sem_tag
+    if include_gi and gi_cadence > 1:
+        sem_tag += f", GI window every {gi_cadence} frames"
     print(json.dumps({
         "metric": f"Mrays/s at {op} hybrid SDF+DDA trace "
                   f"({world_tag} world, gi={gi_tag} div{rcfg.gi_res_divisor}"

@@ -307,6 +307,18 @@ class RenderConfig:
     # tests/test_render.py.
     prepass_divisor: int = 2
 
+    # Soft-shadow sites decoupled from the prepass grid (0 = coupled,
+    # the reference shape: shadows estimated at the prepass pixels,
+    # StateRender.cu:276-283).  s > 0: the prepass skips its shadow work
+    # entirely and the SDF penumbra march runs from every s-th FULL-RES
+    # primary hit instead (true hit points - no prepass/primary
+    # silhouette mismatch), linearly expanded between sites.  Unlocks
+    # prepass_divisor 8: the prepass then only provides conservative
+    # start distances, whose quality the primary is nearly insensitive
+    # to (probe_r9), without halving the shadow site density.  Only
+    # meaningful with LightingConfig.soft_shadows.
+    shadow_site_divisor: int = 0
+
     @property
     def half_width(self) -> int:
         return self.width // self.prepass_divisor
@@ -358,6 +370,17 @@ class EngineConfig:
     # this is a startup-latency lever (VERDICT r2 #8), image-gated in
     # tests/test_world.py.  (1, 1) = reference-exact.
     gi_init_stride: tuple = (1, 1)
+
+    # GI init algorithm: "traced" = one sun-shadow ray per lattice cell
+    # (InitialGlobalIlluminate, CoarseArray.cu:211-245; honors
+    # gi_init_stride); "heightfield" = ray-free horizon-mapping init
+    # (gi/update.init_gi_heightfield): O(log height) shifted-max passes
+    # over the 2-D column-height map instead of 134M traces at the
+    # reference world - the startup-latency lever for seconds-scale world
+    # builds.  Differences vs traced are confined to sun-facing cave
+    # mouths/overhangs (mismatch fraction gated in tests/test_world.py);
+    # the progressive sweep re-traces every cell within gi_sweep_frames.
+    gi_init_mode: str = "traced"
 
     @property
     def gi_window(self) -> int:

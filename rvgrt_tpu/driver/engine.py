@@ -84,9 +84,13 @@ def build_world(ecfg: EngineConfig, verbose: bool = True,
         sky_y.block_until_ready()
     if init_gi:
         with Timer("initializing GI", verbose):
-            gi = gi_update.init_gi_strided(bits, sdf, ecfg, sky_y=sky_y,
-                                           table=table,
-                                           stride=ecfg.gi_init_stride)
+            if ecfg.gi_init_mode == "heightfield":
+                gi = jax.jit(gi_update.init_gi_heightfield,
+                             static_argnums=1)(bits, ecfg)
+            else:
+                gi = gi_update.init_gi_strided(bits, sdf, ecfg,
+                                               sky_y=sky_y, table=table,
+                                               stride=ecfg.gi_init_stride)
             gi.block_until_ready()
     else:
         gi = gi_grid.zeros(cfg)

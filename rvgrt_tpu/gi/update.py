@@ -24,6 +24,7 @@ TPU-isms vs the reference:
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax
 import jax.numpy as jnp

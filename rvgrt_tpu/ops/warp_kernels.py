@@ -147,19 +147,31 @@ def _warp_kernel(ntx: int, hh: int, hw: int,
     out_ref[4] = ovf.astype(_F32)
 
 
-def warp_packed_bilinear(packed: jax.Array, xs: jax.Array, ys: jax.Array):
+def warp_packed_bilinear(packed: jax.Array, xs: jax.Array, ys: jax.Array,
+                         interpret: bool | None = None):
     """TRUE 4-tap bilinear gather of the packed RGBN history.
 
-    ``packed``: (H, W) uint32; ``xs``/``ys``: (H, W) f32 source coords,
+    ``packed``: (H, W) uint32; ``xs``/``ys``: (OH, W) f32 source coords,
     already clipped into [0, W-1] / [0, H-1] (``temporal._warp_state``
-    convention).  Returns ``(planes, overflow)``: (4, H, W) f32
-    [r, g, b, n/255-of-max] and the i32 count of out-of-window lanes.
-    Requires H % 8 == 0 and W % 128 == 0 (display shapes are).
+    convention).  The OUTPUT grid comes from ``xs``/``ys`` - OH may be a
+    row slab of the display (the sharded path,
+    ``temporal.temporal_upscale_slab``) while the window DMAs still read
+    the full ``packed`` history.  Returns ``(planes, overflow)``:
+    (4, OH, W) f32 [r, g, b, n/255-of-max] and the i32 count of
+    out-of-window lanes.  Requires OH % 8 == 0 and W % 128 == 0.
     """
     hh, hw = packed.shape
-    assert hh % R == 0 and hw % C == 0, (hh, hw)
-    nty, ntx = hh // R, hw // C
+    oh, ow = xs.shape
+    assert ow == hw and ys.shape == (oh, ow), (packed.shape, xs.shape,
+                                               ys.shape)
+    assert oh % R == 0 and hw % C == 0 and hh % R == 0, (oh, hh, hw)
+    nty, ntx = oh // R, ow // C
     nt = nty * ntx
+    if interpret is None:
+        # Mosaic lowering is TPU-only; everywhere else (the CPU test
+        # mesh) run the kernel in interpret mode so the SAME code path is
+        # gated on CPU (tests/test_warp_kernel.py, test_sharding.py)
+        interpret = jax.default_backend() != "tpu"
 
     # per-tile window origins (block min of the floor'd coords), clipped
     # so the fixed-size window stays in bounds
@@ -191,8 +203,9 @@ def warp_packed_bilinear(packed: jax.Array, xs: jax.Array, ys: jax.Array):
     )
     planes = pl.pallas_call(
         functools.partial(_warp_kernel, ntx, hh, hw),
-        out_shape=jax.ShapeDtypeStruct((5, hh, hw), _F32),
+        out_shape=jax.ShapeDtypeStruct((5, oh, ow), _F32),
         grid_spec=grid_spec,
+        interpret=interpret,
     )(by, bx, xs, ys, packed)
     return planes[:4], jnp.sum(planes[4]).astype(_I32)
 

@@ -34,7 +34,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from rvgrt_tpu.config import EngineConfig
 from rvgrt_tpu.gi import update as gi_update

@@ -21,7 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from rvgrt_tpu.config import EngineConfig
 from rvgrt_tpu.gi import update as gi_update
@@ -168,8 +168,11 @@ def _temporal_sharded_jit(h: int, w: int, mesh: Mesh,
                                               lo0, n_lo,
                                               warp_taps=warp_taps)
 
+    # check_vma=False: the slab may run the Pallas warp kernel, whose
+    # pallas_call out_shape carries no varying-mesh-axes annotation (new
+    # jax rejects that under the default check_vma=True)
     fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(), P(), P(), P()),
-                   out_specs=(P("rays"), P("rays")))
+                   out_specs=(P("rays"), P("rays")), check_vma=False)
 
     def apply(color, motion, jit_ndc, packed):
         # edge-clamp halos once at full-frame level; each shard slices its

@@ -315,13 +315,17 @@ def _cascade_start(trace_fn, rcfg, cam: CameraArrays, hy0, hrows: int,
 
 def half_res_prepass(bits, sdf, cfg, rcfg, lcfg, cam: CameraArrays,
                      hy0=0, hrows: int | None = None, table=None,
-                     sky_y=None, trace_fn=None, start_hint=None):
+                     sky_y=None, trace_fn=None, start_hint=None,
+                     want_shadow: bool = True):
     """distApproximationKernel (StateRender.cu:255-286): distance - 8
     (miss -> 300) and hard shadow factor at half render resolution.
     ``hy0``/``hrows`` select a half-res row slab (edge-clamped).
     ``start_hint``: optional full-frame (half_height, half_width)
     conservative start map (``temporal_start_hint``), maximum-combined
-    with the cascade start."""
+    with the cascade start.  ``want_shadow=False`` skips the shadow
+    estimate entirely (ones placeholder) - the decoupled-shadow tier
+    (``RenderConfig.shadow_site_divisor``) marches shadows from the
+    primary hits instead."""
     if trace_fn is None:
         trace_fn = make_trace_fn(bits, sdf, cfg, rcfg, table=table,
                                  sky_y=sky_y)
@@ -342,7 +346,9 @@ def half_res_prepass(bits, sdf, cfg, rcfg, lcfg, cam: CameraArrays,
                  + (res.pz - cam.pos[2]) ** 2)
     dist = jnp.where(res.hit, d, _F32(rcfg.miss_distance))
 
-    if lcfg.soft_shadows:
+    if not want_shadow:
+        shadow = jnp.ones_like(dist)
+    elif lcfg.soft_shadows:
         assert sdf is not None, "soft_shadows needs the raw SDF array"
         s = lcfg.soft_shadow_stride
         if s > 1:
@@ -719,18 +725,35 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
     hneed = slab_h // pd + 2
     t = max(rcfg.trace_tile_rows, 1)
     hrows = -(-hneed // t) * t
-    half_dist, half_shadow = half_res_prepass(bits, sdf, cfg, rcfg, lcfg,
-                                              cam, hy0=hy0, hrows=hrows,
-                                              trace_fn=trace_fn,
-                                              sky_y=sky_y,
-                                              start_hint=hint_half)
+    shadow_decoupled = (lcfg.soft_shadows
+                        and rcfg.shadow_site_divisor > 0)
+    half_dist, half_shadow = half_res_prepass(
+        bits, sdf, cfg, rcfg, lcfg, cam, hy0=hy0, hrows=hrows,
+        trace_fn=trace_fn, sky_y=sky_y, start_hint=hint_half,
+        want_shadow=not shadow_decoupled)
     half_dist = half_dist[:hneed]
     half_shadow = half_shadow[:hneed]
     start_dist = _min_dist_upsample_slab(half_dist, slab_h, d=pd)
+    # Deliberate quirk fix (SURVEY app. B class, like the c_cam jitter
+    # fix): clamp the conservative start at the camera.  The reference
+    # feeds minDist's ``dist - 8`` to trace() unclamped
+    # (StateRender.cu:228-233), so rays whose prepass distance is under
+    # the bias march from BEHIND the camera - which can back the origin
+    # out of the world near its bounds (approximateCSDF OOB -> miss,
+    # raytracing_functions.cu:69-71) or exhaust the 5-major-iteration
+    # budget on the longer march (miss after 5 majors, line 105) - both
+    # unreachable in the reference's 4096x512x4096 world but real at
+    # small worlds/near-top poses (probe_prepass_d4: 14-163 flipped hits
+    # per frame).  A start of 0 can never overshoot, so the clamp is
+    # strictly conservative; the cascade start was already clamped
+    # (``_cascade_start``), this makes the two start tiers consistent.
+    # Mirrored in the scalar oracle (tests/golden/scalar_render.py).
+    start_dist = jnp.maximum(start_dist, _F32(0.0))
     if hint_full is not None:
         start_dist = jnp.maximum(
             start_dist, _take_rows(hint_full, y0, slab_h, rcfg.height))
-    shadow_full = _bilinear_upsample_slab(half_shadow, slab_h, d=pd)
+    shadow_full = (None if shadow_decoupled
+                   else _bilinear_upsample_slab(half_shadow, slab_h, d=pd))
 
     # ---- 3: full-res primary ----
     dx, dy, dz = _ray_dirs(cam, w, rcfg.height, pixel_center=False,
@@ -739,7 +762,8 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
         sel = lambda a: checker_select(a, checker_parity, y0=y0)  # noqa: E731
         dx, dy, dz = sel(dx), sel(dy), sel(dz)
         start_dist = sel(start_dist)
-        shadow_full = sel(shadow_full)
+        if shadow_full is not None:
+            shadow_full = sel(shadow_full)
     res = trace_fn(cam.pos[0] + jnp.zeros_like(dx), cam.pos[1], cam.pos[2],
                    dx, dy, dz, start_dist)
     hit = res.hit
@@ -747,6 +771,20 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
     normal = (res.nx, res.ny, res.nz)
     d = (dx, dy, dz)
     sun = vm.splat(lcfg.sun_dir, hit.shape)
+
+    if shadow_decoupled:
+        # SDF penumbra march from every s-th TRUE primary hit (see
+        # RenderConfig.shadow_site_divisor); sites live on the post-
+        # checker grid, so under checkerboarding neighbor sites alternate
+        # world parity - penumbras are smooth, image-gated like the
+        # prepass-coupled stride
+        ssd = rcfg.shadow_site_divisor
+        sub = lambda a: a[::ssd, ::ssd]  # noqa: E731
+        q = shading.soft_shadow_march(
+            sub(res.px), sub(res.py), sub(res.pz),
+            sub(res.nx), sub(res.ny), sub(res.nz), sub(res.hit),
+            sdf, cfg, lcfg, sky_y=sky_y)
+        shadow_full = _expand_even(q, ssd, hit.shape)
 
     # ---- 4a: water path (StateRender.cu:53-87) ----
     # the two secondary traces are skipped entirely (lax.cond) when no

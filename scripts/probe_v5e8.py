@@ -156,8 +156,12 @@ def main():
     packed0 = jax.jit(up_temporal.pack_state)(state0)
 
     def step_up_shard(st, acc):
+        # same warp kernel on both sides (ADVICE r3: defaulting the slab
+        # to "bilinear_shift" conflated kernel choice with dispatch cost -
+        # the exact confound the round-3 PERF entry documents)
         out, npk = sharding.temporal_upscale_sharded(color, motion, jit_ndc,
-                                                     st, mesh1)
+                                                     st, mesh1,
+                                                     warp_taps="pallas")
         return npk, acc + out[0, 0, 0]
 
     results["upscale_shard1"] = timed("temporal upscale shard_map mesh=1",
@@ -197,7 +201,10 @@ def main():
         # low-res frame outputs resharded to replicated for the upscaler
         "lowres_color_allgather": height * width * 3 * f32,
         "lowres_motion_allgather": height * width * 2 * f32,
-        "lowres_depth_allgather": height * width * f32,
+        # NOTE: low-res depth is only all-gathered when the (default-off)
+        # temporal depth_reject option is on - excluded from the default
+        # model so this table matches PERF.md's round-3 total (57.5 MB);
+        # +4.1 MB (~+0.08 ms ring transit) when depth_reject is enabled.
         # packed temporal history (u32/display pixel) re-replicated
         "packed_history_allgather": h3 * w3 * 4,
         # GI window shards all-gathered before the grid write-back

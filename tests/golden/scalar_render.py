@@ -207,7 +207,10 @@ def render_frame_scalar(world: st.ScalarWorld, atlas_rgb, cam_pos, forward,
     pad = np.pad(half_dist, ((0, 0), (0, 1)), mode="edge")
     m2 = np.minimum(np.minimum(pad[:-1, :-1], pad[:-1, 1:]),
                     np.minimum(pad[1:, :-1], pad[1:, 1:]))
-    start_full = np.repeat(np.repeat(m2[1:1 + H // 2], 2, 0), 2, 1)
+    # clamped at the camera like the pipeline (deliberate quirk fix: the
+    # reference feeds dist-8 unclamped, see render/pipeline.py render_slab)
+    start_full = np.maximum(
+        np.repeat(np.repeat(m2[1:1 + H // 2], 2, 0), 2, 1), F(0.0))
 
     a = half_shadow
     prevx = np.concatenate([a[:, :1], a[:, :-1]], axis=1)

@@ -86,3 +86,30 @@ def test_window_origins_cover_sources():
     ly0 = y0.reshape(nty, wk.R, ntx, wk.C) - by[:, None, :, None]
     lx0 = x0.reshape(nty, wk.R, ntx, wk.C) - bx[:, None, :, None]
     assert ly0.min() >= 0 and lx0.min() >= 0
+
+
+def test_pallas_kernel_interpret_matches_oracle_slab_and_full():
+    """The Pallas kernel itself (interpret mode on CPU) == the XLA oracle,
+    at a full-frame shape AND at a row-slab shape (output grid derived
+    from xs/ys, window DMAs over the full packed history - the sharded
+    path's contract, ADVICE r3 high)."""
+    rng = np.random.default_rng(21)
+    hh, hw = 64, 512
+    packed = jnp.asarray(rng.integers(0, 2 ** 32, (hh, hw),
+                                      dtype=np.uint64).astype(np.uint32))
+    # smooth source fields (locally coherent, like a real motion field)
+    for oh, y_base in ((16, 20.0), (hh, 0.0)):
+        xs = jnp.broadcast_to(jnp.asarray(
+            (np.arange(hw, dtype=np.float32)[None, :] * 0.97
+             + rng.random((oh, 1), np.float32) * 3).clip(0, hw - 1.001)),
+            (oh, hw))
+        ys = jnp.broadcast_to(jnp.asarray(
+            (y_base + np.arange(oh, dtype=np.float32)[:, None] * 0.6
+             + rng.random((1, hw), np.float32) * 2).clip(0, hh - 1.001)),
+            (oh, hw))
+        p_k, ovf = wk.warp_packed_bilinear(packed, xs, ys)
+        p_x, _ = wk.warp_packed_bilinear_xla(packed, xs, ys)
+        assert int(ovf) == 0
+        assert p_k.shape == (4, oh, hw)
+        np.testing.assert_allclose(np.asarray(p_k), np.asarray(p_x),
+                                   atol=1e-6)
