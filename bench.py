@@ -169,9 +169,19 @@ def main():
     log(f"world {world_tag}, {width}x{height}, gi={include_gi}, "
         f"upscale={upscale}, soft_shadows={soft}, fast_trace={fast_trace}")
 
+    # GI init algorithm: the ray-free heightfield prior (horizon mapping,
+    # gi/update.init_gi_heightfield) replaces the 40 s traced init at
+    # 1024^3 through a slow tunnel; the progressive sweep re-traces every
+    # cell within one sweep period (gated vs traced in tests/test_world).
+    # BENCH_GI_INIT=traced restores the reference init path.
+    if os.environ.get("BENCH_GI_INIT", "heightfield") == "heightfield":
+        ecfg = dataclasses.replace(ecfg, gi_init_mode="heightfield")
     t0 = time.time()
-    world = eng_mod.build_world(ecfg, verbose=True, init_gi=include_gi)
-    log(f"world build total: {time.time() - t0:.1f}s")
+    phase_times: dict = {}
+    world = eng_mod.build_world(ecfg, verbose=True, init_gi=include_gi,
+                                phase_times=phase_times)
+    build_s = time.time() - t0
+    log(f"world build total: {build_s:.1f}s  phases={phase_times}")
 
     # ---- camera placement: terrain top at world center, ON DEVICE (a
     # full-grid readback costs ~8 s/128 MB through the tunnel) ----
@@ -211,6 +221,26 @@ def main():
                       up=(up / np.linalg.norm(up)).astype(np.float32))
 
     up_net = up_params = None
+    res_net = res_params = None
+    if upscale and up_mode == "residual":
+        # learned residual head riding the temporal accumulator
+        # (upscale/residual.py, trained by scripts/train_residual.py):
+        # the accumulator recurrence is unchanged, the head is a pure
+        # post-pass on its output + confidence
+        from rvgrt_tpu.driver import checkpoint as ck_mod
+        from rvgrt_tpu.upscale import residual as res_mod
+
+        up_mode = "temporal"
+        ckpt = os.path.join(os.path.dirname(__file__),
+                            "checkpoints", "residual_head.pkl")
+        if os.path.exists(ckpt):
+            blob = ck_mod.load_params(ckpt)
+            res_net = res_mod.ResidualHead(features=blob["features"],
+                                           depth_layers=blob["layers"])
+            res_params = blob["params"]
+            log(f"loaded residual head from {ckpt}")
+        else:
+            log(f"no {ckpt}; falling back to the plain accumulator")
     if upscale and up_mode == "net":
         from rvgrt_tpu.upscale import model as up_model
 
@@ -263,6 +293,10 @@ def main():
                 hi, nstate = up_temporal.temporal_upscale(
                     out.color, out.motion, out.depth, cam.jitter, hist,
                     valid=valid, warp_taps=warp_taps)
+                if res_params is not None:
+                    hi = res_net.apply(res_params, out.color, out.motion,
+                                       out.depth, cam.jitter, hi,
+                                       nstate.conf)
                 return out._replace(color=hi), nstate
             return out, hist
 
@@ -430,6 +464,8 @@ def main():
 
     extras = {"headline": stats, "device": str(dev),
               "readback_s": round(readback_s, 3),
+              "world_build_s": round(build_s, 1),
+              "world_build_phases": phase_times,
               "note": ("frames dispatched back-to-back (chained via GI/"
                        "history/accumulator), one closing readback; "
                        "Mrays counts primary+prepass+cascade+GI-update "

@@ -27,7 +27,7 @@ from rvgrt_tpu.config import EngineConfig
 from rvgrt_tpu.gi import update as gi_update
 from rvgrt_tpu.render import pipeline
 from rvgrt_tpu.scene.camera import Camera, Character, InputState
-from rvgrt_tpu.utils.timer import Timer
+from rvgrt_tpu.utils.timer import Timer as Timer0
 from rvgrt_tpu.world import atlas as atlas_mod
 from rvgrt_tpu.world import gi_grid, sdf as sdf_mod, voxel_grid
 
@@ -49,10 +49,22 @@ class World:
 
 
 def build_world(ecfg: EngineConfig, verbose: bool = True,
-                init_gi: bool = True) -> World:
+                init_gi: bool = True,
+                phase_times: dict | None = None) -> World:
     """Deterministic world build (State.cpp:24-56 lifecycle, with phase
-    timers like the reference's RAII Timer prints)."""
+    timers like the reference's RAII Timer prints).  ``phase_times``:
+    optional dict filled with {phase: seconds} (the bench records it)."""
     cfg = ecfg.world
+
+    import contextlib
+
+    @contextlib.contextmanager
+    def Timer(name, verbose=verbose, _T=Timer0):  # noqa: N802
+        with _T(name, verbose) as t:
+            yield t
+        if phase_times is not None:
+            phase_times[name] = round(t.elapsed_ms / 1e3, 2)
+
     with Timer("building fine voxel grid", verbose):
         bits = voxel_grid.generate(cfg, ecfg.terrain)
         bits.block_until_ready()

@@ -912,7 +912,7 @@ def render_frame(bits, sdf, gi, atlas, cam: CameraArrays,
 
 
 def gi_composite(color, gb: GBuffer, gi, sdf, ecfg: EngineConfig,
-                 gi_occ=None):
+                 gi_occ=None, return_addend: bool = False):
     """Add cone-traced indirect + sky ambient onto a GI-less base color.
 
     The split-dispatch half of the GI frame: ``render_frame(include_gi=
@@ -936,5 +936,12 @@ def gi_composite(color, gb: GBuffer, gi, sdf, ecfg: EngineConfig,
                      vm.scale(albedo, _F32(lcfg.ambient_strength)))
     solid = gb.hit & ~(gb.py < _F32(lcfg.water_level))
     scale = jnp.where(solid, gb.fog, _F32(0.0))
-    add = vm.scale(vm.add(indirect, ambient), scale)
-    return jnp.clip(color + jnp.stack(add, axis=-1), 0.0, 1.0)
+    add = jnp.stack(vm.scale(vm.add(indirect, ambient), scale), axis=-1)
+    out = jnp.clip(color + add, 0.0, 1.0)
+    if return_addend:
+        # the added-light image, for cross-frame reuse (bench GI-composite
+        # cadence: indirect light is low-frequency and geometry-attached,
+        # so re-adding last frame's addend to the next base frame is a
+        # quality-gated amortization - probe_checker_motion measures it)
+        return out, add
+    return out

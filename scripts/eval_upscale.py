@@ -44,6 +44,9 @@ def main():
     p.add_argument("--path-seed", type=int, default=101)
     p.add_argument("--net", nargs="*", default=[],
                    help="learned checkpoints to include")
+    p.add_argument("--residual", nargs="*", default=[],
+                   help="residual-head checkpoints (ride the temporal "
+                        "accumulator as a post-pass, upscale/residual.py)")
     p.add_argument("--taps", nargs="*",
                    default=["bilinear_shift"],
                    help="temporal-accumulator history-warp variants to "
@@ -148,6 +151,31 @@ def main():
         got = report(tag, run_temporal)
         if (taps, decay, dr) == variants[0]:
             tp = got
+
+    for path in args.residual:
+        from rvgrt_tpu.driver import checkpoint as ck
+        from rvgrt_tpu.upscale import residual as res_mod
+
+        blob = ck.load_params(path)
+        rnet = res_mod.ResidualHead(features=blob["features"],
+                                    depth_layers=blob["layers"])
+        rparams = blob["params"]
+        r_up = jax.jit(lambda c, m, d, j, s: temporal.temporal_upscale(
+            c, m, d, j, s))
+        r_app = jax.jit(lambda p, c, m, d, j, ao, ac: rnet.apply(
+            p, c, m, d, j, ao, ac))
+
+        def run_residual(seg):
+            state = temporal.init_state(args.low_h, args.low_w)
+            outs = []
+            for s in seg:
+                acc_out, state = r_up(s.color, s.motion, s.depth, s.jitter,
+                                      state)
+                outs.append(r_app(rparams, s.color, s.motion, s.depth,
+                                  s.jitter, acc_out, state.conf))
+            return outs
+
+        report(f"residual[{os.path.basename(path)}]", run_residual)
 
     for path in args.net:
         net, params = up_model.load_checkpoint(path)
