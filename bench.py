@@ -87,6 +87,11 @@ def main():
     # frame (GI update measured 68 ms/window at the r4 probe - the sweep
     # period doubles, the steady state is unchanged)
     gi_cadence = max(int(os.environ.get("BENCH_GI_CADENCE", "2")), 1)
+    # GI-composite cadence: 2 = cone-march the indirect-light image every
+    # other frame and re-add it in between (probe_checker_motion: +0.50 dB
+    # cost vs truth on the moving eval; composite measured 43 ms at the
+    # r4 probe).  1 = composite every frame (default: quality first).
+    comp_cadence = max(int(os.environ.get("BENCH_COMP_CADENCE", "1")), 1)
     # history-warp implementation: "pallas" = the windowed-DMA TRUE-4-tap
     # bilinear kernel (ops/warp_kernels.py; 406 -> 34 ms at 3840x2400 vs
     # the XLA 4-tap gather, bit-exact, probe_r11); "bilinear_shift" etc.
@@ -268,11 +273,22 @@ def main():
                                          return_gbuffer=include_gi,
                                          checker_parity=par if ck else None)
 
-        def _post(out, gb, g, s, cam, hist, par):
-            """-> (frame outputs, next upscaler state)."""
+        def _post(out, gb, g, s, cam, hist, par, addend, reuse=False):
+            """-> (frame outputs, next upscaler state, composite addend).
+
+            ``reuse=True``: skip the cone-march composite and re-add the
+            PREVIOUS frame's indirect-light image (GI is low-frequency
+            and geometry-attached; measured +0.50 dB cost vs truth on
+            the moving eval, probe_checker_motion) - the composite-
+            cadence perf knob (BENCH_COMP_CADENCE)."""
             if include_gi:
-                out = out._replace(color=pipeline.gi_composite(
-                    out.color, gb, g, s, ec))
+                if reuse:
+                    out = out._replace(color=jnp.clip(
+                        out.color + addend, 0.0, 1.0))
+                else:
+                    col, addend = pipeline.gi_composite(
+                        out.color, gb, g, s, ec, return_addend=True)
+                    out = out._replace(color=col)
             valid = None
             if ck:
                 # expand the half-width checkerboard buffers to the full
@@ -289,7 +305,7 @@ def main():
                     hi, _ = up_model.upscale(up_net, up_params, out.color,
                                              out.motion, out.depth,
                                              cam.jitter, hist)
-                    return out._replace(color=hi), hi
+                    return out._replace(color=hi), hi, addend
                 hi, nstate = up_temporal.temporal_upscale(
                     out.color, out.motion, out.depth, cam.jitter, hist,
                     valid=valid, warp_taps=warp_taps)
@@ -297,18 +313,22 @@ def main():
                     hi = res_net.apply(res_params, out.color, out.motion,
                                        out.depth, cam.jitter, hi,
                                        nstate.conf)
-                return out._replace(color=hi), nstate
-            return out, hist
+                return out._replace(color=hi), nstate, addend
+            return out, hist, addend
 
         def _gi(g, b, s, a, fr, off, sky, tbl):
             return gi_update.update_gi(g, b, s, a, ec, fr, off,
                                        sky_y=sky, table=tbl)
 
-        return jax.jit(_base), jax.jit(_post), jax.jit(_gi), ck
+        import functools as _ft
+
+        post_c = jax.jit(_ft.partial(_post, reuse=False))
+        post_r = jax.jit(_ft.partial(_post, reuse=True))
+        return jax.jit(_base), (post_c, post_r), jax.jit(_gi), ck
 
     def run_point(ec, label, frames):
         """Measure one operating point; returns (fps, stats dict)."""
-        base_j, post_j, gi_j, ck = build_ops(ec)
+        base_j, (post_c, post_r), gi_j, ck = build_ops(ec)
         from rvgrt_tpu.upscale import model as up_model_l
         if upscale and ec.render.width == width:
             if up_mode == "net":
@@ -354,7 +374,10 @@ def main():
         fr0 = jax.device_put(jnp.uint32(0))
         par_dev = [jax.device_put(jnp.int32(0)), jax.device_put(jnp.int32(1))]
 
-        def frame(i, cam, gi, offset, hist, acc):
+        cw = (ec.render.width // 2) if ck else ec.render.width
+        addend0 = jnp.zeros((ec.render.height, cw, 3), jnp.float32)
+
+        def frame(i, cam, gi, offset, hist, acc, addend):
             par = par_dev[i & 1]
             # GI cadence: run the progressive window every Nth frame (the
             # reference's contract is the ~512-frame full-grid sweep
@@ -367,17 +390,22 @@ def main():
             r = base_j(world.bits, world.sdf, gi, world.atlas, cam,
                        world.sky_y, world.trace_table, par)
             out, gb = r if include_gi else (r, None)
-            out, nhist = post_j(out, gb, gi, world.sdf, cam, hist, par)
+            post_j = post_r if (include_gi
+                                and i % comp_cadence != 0) else post_c
+            out, nhist, addend = post_j(out, gb, gi, world.sdf, cam, hist,
+                                        par, addend)
             # tiny reduction chains every frame into one final readback
             acc = acc + jnp.sum(out.depth)
-            return out, gi, nhist, acc
+            return out, gi, nhist, acc, addend
 
         # warmup / compile (also absorbs any remaining lazy setup)
         acc = jnp.zeros((), jnp.float32)
         gi = world.gi
         offset = 0
+        addend = addend0
         t0 = time.time()
-        out, gi, hist, acc = frame(0, cams[0], gi, offset, hist0, acc)
+        out, gi, hist, acc, addend = frame(0, cams[0], gi, offset, hist0,
+                                           acc, addend)
         float(acc)
         log(f"[{label}] compile+first frame: {time.time() - t0:.1f}s")
         # the offset advances only right before a frame that will run its
@@ -386,7 +414,8 @@ def main():
         if 1 % gi_cadence == 0:
             offset = gi_update.advance_offset(offset, ec)
         t0 = time.time()
-        out, gi, hist, acc = frame(1, cams[1], gi, offset, hist, acc)
+        out, gi, hist, acc, addend = frame(1, cams[1], gi, offset, hist,
+                                           acc, addend)
         wdepth = out.depth
         hit_frac = float(jnp.mean((wdepth != 1.0).astype(jnp.float32)))
         log(f"[{label}] warm frame {time.time() - t0:.1f}s; "
@@ -397,8 +426,8 @@ def main():
         for i in range(frames):
             if (2 + i) % gi_cadence == 0:
                 offset = gi_update.advance_offset(offset, ec)
-            out, gi, hist, acc = frame(2 + i, cams[2 + i], gi, offset,
-                                       hist, acc)
+            out, gi, hist, acc, addend = frame(2 + i, cams[2 + i], gi,
+                                               offset, hist, acc, addend)
         float(acc)  # one readback closes the pipeline
         dt = time.time() - t0
         fps = frames / dt
@@ -494,6 +523,8 @@ def main():
         sem_tag = "checkerboard primaries, " + sem_tag
     if include_gi and gi_cadence > 1:
         sem_tag += f", GI window every {gi_cadence} frames"
+    if include_gi and comp_cadence > 1:
+        sem_tag += f", GI composite every {comp_cadence} frames"
     print(json.dumps({
         "metric": f"Mrays/s at {op} hybrid SDF+DDA trace "
                   f"({world_tag} world, gi={gi_tag} div{rcfg.gi_res_divisor}"

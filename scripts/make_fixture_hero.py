@@ -30,8 +30,11 @@ FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "..", "tests",
 
 CUBE = 10
 WIDTH, HEIGHT = 1280, 800
-# the bench camera shape: terrain-top center spawn, panning pose i=1
-POSE = {"off_y": 12.0, "ang": 0.35}
+# the bench camera shape (terrain-top center spawn, pan angle), facing
+# DOWN-SUN (sun_dir ~ (0.85, 0.42, -0.34)): the view must contain lit,
+# textured terrain for the gate to have teeth - the first attempt at
+# ang=0.35 faced away from the sun and froze a nearly black slope
+POSE = {"off_y": 12.0, "ang": 2.75}
 
 
 def build():

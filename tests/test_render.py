@@ -675,3 +675,67 @@ def test_decoupled_shadow_sites_match_coupled(engine):
         checker_parity=jnp.int32(0))
     assert ck.color.shape == (ecfg.render.height, ecfg.render.width // 2, 3)
     assert bool(jnp.isfinite(ck.color).all())
+
+
+def test_checkerboard_moving_camera_agreement():
+    """Checkerboard-vs-full-rate agreement under a MOVING camera (VERDICT
+    r3 #7), closed loop through the temporal accumulator.
+
+    Measured at the production eval point (cube 7, 24 moving frames,
+    SSAA-4 truth, scripts/probe_checker_motion.py, 2026-08-19):
+    checker-vs-full 35.4 dB while full-rate itself sits 31.5 dB from
+    truth - i.e. checkerboarding costs +0.76 dB of delivered quality
+    under fast motion (and ~0 when still; the static gate above holds
+    >40 dB).  This CPU gate replays a fast-motion path at the small test
+    scale and pins the agreement floor; regressions in the validity
+    mask / checker fill / motion vectors drop it far below."""
+    import jax.numpy as jnp
+
+    from rvgrt_tpu.driver.engine import build_world, camera_arrays
+    from rvgrt_tpu.scene.camera import Character, InputState, \
+        phase_jitter_sequence
+    from rvgrt_tpu.upscale import temporal
+
+    ecfg = EngineConfig(
+        world=WorldConfig().with_cube(6),
+        render=dataclasses.replace(RenderConfig(), width=64, height=48),
+    )
+    world = build_world(ecfg, verbose=False, init_gi=False)
+    h, wd = 48, 64
+    ch = Character(render_width=wd, render_height=h)
+    ch.position = np.array([24.0, 46.0, 24.0], np.float32)
+    ch.pitch, ch.yaw = -math.pi - 0.4, 0.7
+    ch.jitter_sequence = phase_jitter_sequence(3)
+
+    st_full = temporal.init_state(h, wd)
+    st_ck = temporal.init_state(h, wd)
+    psnrs = []
+    for i in range(10):
+        ch.update(InputState(move_z=1.0, mouse_dx=5.0), 1.0 / 60.0, i)
+        cam = camera_arrays(ch.camera, ch.unjittered_view_projection,
+                            ch.prev_unjittered_view_projection,
+                            ch.ray_jitter_ndc(), i / 60.0)
+        full = pipeline.render_frame(world.bits, world.sdf, world.gi,
+                                     world.atlas, cam, ecfg,
+                                     include_gi=False, sky_y=world.sky_y,
+                                     table=world.trace_table)
+        out_full, st_full = temporal.temporal_upscale(
+            full.color, full.motion, full.depth, cam.jitter, st_full)
+        par = jnp.int32(i & 1)
+        half = pipeline.render_frame(world.bits, world.sdf, world.gi,
+                                     world.atlas, cam, ecfg,
+                                     include_gi=False, sky_y=world.sky_y,
+                                     table=world.trace_table,
+                                     checker_parity=par)
+        ex = lambda a: pipeline.checker_expand(a, par)  # noqa: E731
+        valid = pipeline.checker_valid_mask(h, wd, par)
+        out_ck, st_ck = temporal.temporal_upscale(
+            ex(half.color), ex(half.motion), ex(half.depth), cam.jitter,
+            st_ck, valid=valid)
+        if i >= 4:  # skip history warmup
+            mse = float(np.mean((np.asarray(out_full)
+                                 - np.asarray(out_ck)) ** 2))
+            psnrs.append(99.0 if mse < 1e-12
+                         else 10.0 * math.log10(1.0 / mse))
+    mean_p = sum(psnrs) / len(psnrs)
+    assert mean_p >= 30.0, (mean_p, psnrs)
