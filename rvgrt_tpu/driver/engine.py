@@ -48,13 +48,33 @@ class World:
     trace_table: jax.Array | None = None
 
 
+def _sdf_phase_fn(b, cfg):
+    """The whole SDF phase as one program: coarse occupancy reduce ->
+    separable distance transform -> far-field mip extension."""
+    coarse = voxel_grid.coarse_occupancy(b, cfg)
+    s = sdf_mod.build_sdf(coarse, cfg)
+    return sdf_mod.extend_sdf_far(s, coarse, cfg)
+
+
 def build_world(ecfg: EngineConfig, verbose: bool = True,
                 init_gi: bool = True,
-                phase_times: dict | None = None) -> World:
+                phase_times: dict | None = None,
+                parallel_compile: bool | None = None) -> World:
     """Deterministic world build (State.cpp:24-56 lifecycle, with phase
     timers like the reference's RAII Timer prints).  ``phase_times``:
-    optional dict filled with {phase: seconds} (the bench records it)."""
+    optional dict filled with {phase: seconds} (the bench records it).
+
+    ``parallel_compile`` (default: on for non-CPU backends): AOT-compile
+    every jitted phase program CONCURRENTLY in threads while the fine
+    voxel grid generates.  The build is compile-bound, not compute-bound
+    (PERF.md round-4 census: warm phase runs total ~6 s at 1024^3 while
+    each program costs 1-14 s of per-process remote compile/load that the
+    persistent cache cannot absorb) - overlapping the compiles collapses
+    the serial compile wall to the longest single program.
+    """
     cfg = ecfg.world
+    if parallel_compile is None:
+        parallel_compile = jax.default_backend() != "cpu"
 
     import contextlib
 
@@ -65,40 +85,74 @@ def build_world(ecfg: EngineConfig, verbose: bool = True,
         if phase_times is not None:
             phase_times[name] = round(t.elapsed_ms / 1e3, 2)
 
+    from rvgrt_tpu.trace import wavefront
+
+    heightfield = init_gi and ecfg.gi_init_mode == "heightfield"
+    fns = {
+        "sdf": lambda b: _sdf_phase_fn(b, cfg),
+        "table": lambda b, s: wavefront.make_trace_table(b, s, cfg),
+        "sky": lambda b: voxel_grid.sky_limit(b, cfg),
+    }
+    if heightfield:
+        fns["gi"] = lambda b: gi_update.init_gi_heightfield(b, ecfg)
+
+    compiled = {}
+    if parallel_compile:
+        import concurrent.futures as cf
+
+        bits_av = jax.ShapeDtypeStruct((cfg.num_words,), jnp.uint32)
+        sdf_av = jax.ShapeDtypeStruct((cfg.sdf_num_cells,), jnp.uint8)
+        avals = {"sdf": (bits_av,), "table": (bits_av, sdf_av),
+                 "sky": (bits_av,), "gi": (bits_av,)}
+
+        def _aot(name):
+            return name, jax.jit(fns[name]).lower(*avals[name]).compile()
+
+        pool = cf.ThreadPoolExecutor(max_workers=len(fns) + 1)
+        futs = [pool.submit(_aot, k) for k in fns]
+        # the atlas depends on nothing - build it concurrently too (PNG
+        # decode + small device ops, ~3 s of serial latency otherwise)
+        atlas_fut = pool.submit(atlas_mod.default_atlas)
+    else:
+        futs = []
+        atlas_fut = None
+
     with Timer("building fine voxel grid", verbose):
         bits = voxel_grid.generate(cfg, ecfg.terrain)
         bits.block_until_ready()
+
+    if parallel_compile:
+        with Timer("phase compiles (overlapped remainder)", verbose):
+            for f in futs:
+                k, c = f.result()
+                compiled[k] = c
+            pool.shutdown(wait=False)
+
+    def run(name, *args):
+        if name in compiled:
+            return compiled[name](*args)
+        return jax.jit(fns[name])(*args)
+
     with Timer("building coarse SDF", verbose):
-        # one jit for the whole phase: eager dispatch pays a per-op
+        # one program for the whole phase: eager dispatch pays a per-op
         # host->device round trip through the tunnel (measured 50-66 s
         # for this phase at 1024^3; jitted it is device-bound)
-        @functools.partial(jax.jit, static_argnums=1)
-        def _sdf_phase(b, cfg):
-            coarse = voxel_grid.coarse_occupancy(b, cfg)
-            s = sdf_mod.build_sdf(coarse, cfg)
-            # far-field mip extension: u8 values 65..255 for 510-voxel
-            # jumps (conservative - rendered frames are identical; see
-            # extend_sdf_far)
-            return sdf_mod.extend_sdf_far(s, coarse, cfg)
-
-        sdf = _sdf_phase(bits, cfg)
+        sdf = run("sdf", bits)
         sdf.block_until_ready()
     with Timer("building texture atlas", verbose):
-        atlas = atlas_mod.default_atlas()
+        atlas = (atlas_fut.result() if atlas_fut is not None
+                 else atlas_mod.default_atlas())
         atlas.block_until_ready()
-    from rvgrt_tpu.trace import wavefront
     with Timer("building tracer gather table", verbose):
-        table = jax.jit(wavefront.make_trace_table,
-                        static_argnums=2)(bits, sdf, cfg)
+        table = run("table", bits, sdf)
         table.block_until_ready()
     with Timer("computing sky limit", verbose):
-        sky_y = jax.jit(voxel_grid.sky_limit, static_argnums=1)(bits, cfg)
+        sky_y = run("sky", bits)
         sky_y.block_until_ready()
     if init_gi:
         with Timer("initializing GI", verbose):
-            if ecfg.gi_init_mode == "heightfield":
-                gi = jax.jit(gi_update.init_gi_heightfield,
-                             static_argnums=1)(bits, ecfg)
+            if heightfield:
+                gi = run("gi", bits)
             else:
                 gi = gi_update.init_gi_strided(bits, sdf, ecfg,
                                                sky_y=sky_y, table=table,

@@ -113,16 +113,16 @@ def build_sdf(coarse_solid: jax.Array, cfg: WorldConfig,
     cap = cfg.sdf_max_dist
     if use_pallas is None:
         # needs a TPU backend and >= one full 128-lane row per block.
-        # RVGRT_SDF_PALLAS=0 selects the jnp min-conv even on TPU: the
-        # Mosaic kernel costs ~23 s of (uncacheable-through-the-tunnel)
-        # compile per pass per process vs 1.2 s for the jnp twin, while
-        # both RUN in well under a second - the kernel pays off only for
-        # long-lived processes that rebuild worlds repeatedly
-        # (scripts/probe_sdf_build.py + compile-time census, PERF.md r4).
+        # Default OFF even on TPU (RVGRT_SDF_PALLAS=1 opts in): the
+        # Mosaic kernel costs ~23 s of compile per pass per process (and
+        # even a persistent-cache HIT loads ~10 s through the tunnel) vs
+        # 1.2 s for the jnp twin, while both RUN in well under a second
+        # at 1024^3 - the kernel pays off only for long-lived processes
+        # that rebuild worlds repeatedly (compile census, PERF.md r4).
         import os
         use_pallas = (jax.default_backend() not in ("cpu",)
                       and cfg.sdf_size_x >= 128
-                      and os.environ.get("RVGRT_SDF_PALLAS", "1") == "1")
+                      and os.environ.get("RVGRT_SDF_PALLAS", "0") == "1")
     # axis order in the array is (z, y, x)
     dist_x = _axis_distance_1d(coarse_solid, axis=2, cap=cap)
     if use_pallas:
