@@ -148,12 +148,14 @@ def main():
         # slim superstep carry (RenderConfig.slim_carry): tMax recomputed
         # instead of carried; hit/normal parity gated in tests
         rcfg = dataclasses.replace(rcfg, slim_carry=True)
-    # cone-march site stride: 8 quarters the GI-composite gathers vs the
-    # default 4; 36.5 dB vs the exact per-pixel march measured at a SMALLER
-    # frame than this one (denser world-space sites here), GI being a soft
-    # 0.6*albedo additive term.  BENCH_GI_DIV=4 restores the default.
+    # cone-march site stride: 16 cuts GI-composite gathers 16x vs the
+    # default 4.  Quality ladder vs the exact per-pixel march (cube 7,
+    # 192x120 - far FEWER world-space sites than this frame's 80x50 at
+    # div16): div4 38.9 / div8 37.9 / div16 37.9 / div24 33.4 dB - the
+    # geometry-aware joint upsample holds to div16 and degrades at 24
+    # (tests/test_render.py gates div16).  BENCH_GI_DIV=4 restores.
     rcfg = dataclasses.replace(
-        rcfg, gi_res_divisor=int(os.environ.get("BENCH_GI_DIV", "8")))
+        rcfg, gi_res_divisor=int(os.environ.get("BENCH_GI_DIV", "16")))
     wcfg = WorldConfig() if ref_world else WorldConfig().with_cube(cube)
     ecfg = EngineConfig(
         world=wcfg,

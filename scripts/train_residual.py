@@ -37,6 +37,10 @@ def main():
     p.add_argument("--features", type=int, default=32)
     p.add_argument("--layers", type=int, default=3)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--eval-seed", type=int, default=202,
+                   help="held-out path seed (202 faces terrain; the old "
+                        "101 default faces pure sky at cube 8 - "
+                        "hit_frac 0.000, a vacuous 70 dB eval)")
     p.add_argument("--out", default="checkpoints/residual_head.pkl")
     args = p.parse_args()
 
@@ -78,7 +82,7 @@ def main():
         return rsegs
 
     train_segs = segments_of(args.frames, path_seed=0)
-    eval_segs = segments_of(args.eval_frames, path_seed=101)
+    eval_segs = segments_of(args.eval_frames, path_seed=args.eval_seed)
 
     net, params = res_mod.init_params(jax.random.PRNGKey(0), args.low_h,
                                       args.low_w, features=args.features,

@@ -739,3 +739,44 @@ def test_checkerboard_moving_camera_agreement():
                          else 10.0 * math.log10(1.0 / mse))
     mean_p = sum(psnrs) / len(psnrs)
     assert mean_p >= 30.0, (mean_p, psnrs)
+
+
+def test_cone_stride_div16_image_gate():
+    """gi_res_divisor=16 (the bench tier): the geometry-aware joint
+    upsample holds the strided cone march within tolerance of the exact
+    per-pixel march.  Ladder measured 2026-08-19 (this scene): div4
+    38.9 / div8 37.9 / div16 37.9 / div24 33.4 dB - the bench frame has
+    6.7x more world-space sites at div16 than this 192x120 scene, so
+    this gate is conservative for the headline."""
+    from rvgrt_tpu.driver.engine import build_world, camera_arrays
+    from rvgrt_tpu.render.pipeline import render_frame
+    from rvgrt_tpu.scene.camera import Camera
+
+    ecfg = EngineConfig(
+        world=WorldConfig().with_cube(7),
+        render=dataclasses.replace(RenderConfig(), width=192, height=120))
+    w = build_world(ecfg, verbose=False, init_gi=True)
+    fwd = np.array([math.cos(0.5) * 0.87, -0.5, math.sin(0.5) * 0.87],
+                   np.float32)
+    fwd /= np.linalg.norm(fwd)
+    wup = np.array([0, 1, 0], np.float32)
+    right = np.cross(fwd, wup)
+    right /= np.linalg.norm(right)
+    up = np.cross(fwd, right)
+    cam = camera_arrays(Camera(
+        pos=np.array([64.0, 85.0, 64.0], np.float32), forward=fwd,
+        right=right.astype(np.float32),
+        up=(up / np.linalg.norm(up)).astype(np.float32)))
+
+    def frame(div):
+        ec = dataclasses.replace(ecfg, render=dataclasses.replace(
+            ecfg.render, gi_res_divisor=div))
+        return np.asarray(render_frame(
+            w.bits, w.sdf, w.gi, w.atlas, cam, ec, include_gi=True,
+            sky_y=w.sky_y, table=w.trace_table).color)
+
+    exact = frame(1)
+    got = frame(16)
+    mse = float(np.mean((exact - got) ** 2))
+    psnr = 99.0 if mse < 1e-12 else 10.0 * math.log10(1.0 / mse)
+    assert psnr >= 35.0, psnr
