@@ -37,6 +37,11 @@ def main():
     p.add_argument("--features", type=int, default=32)
     p.add_argument("--layers", type=int, default=3)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--loss", choices=["l1g", "mse"], default="l1g",
+                   help="l1g = L1 + 0.5*gradient-L1 (default); mse = "
+                        "plain MSE (PSNR-aligned - capacity probes)")
+    p.add_argument("--f32", action="store_true",
+                   help="run the head in float32 instead of bfloat16")
     p.add_argument("--eval-seed", type=int, default=202,
                    help="held-out path seed (202 faces terrain; the old "
                         "101 default faces pure sky at cube 8 - "
@@ -84,18 +89,50 @@ def main():
     train_segs = segments_of(args.frames, path_seed=0)
     eval_segs = segments_of(args.eval_frames, path_seed=args.eval_seed)
 
-    net, params = res_mod.init_params(jax.random.PRNGKey(0), args.low_h,
-                                      args.low_w, features=args.features,
-                                      depth_layers=args.layers)
+    net = res_mod.ResidualHead(features=args.features,
+                               depth_layers=args.layers,
+                               dtype=jnp.float32 if args.f32
+                               else jnp.bfloat16)
+    dummy = dict(
+        color=jnp.zeros((args.low_h, args.low_w, 3), jnp.float32),
+        motion=jnp.zeros((args.low_h, args.low_w, 2), jnp.float32),
+        depth=jnp.zeros((args.low_h, args.low_w), jnp.float32),
+        jitter=jnp.zeros((2,), jnp.float32),
+        acc_out=jnp.zeros((args.low_h * 3, args.low_w * 3, 3), jnp.float32),
+        acc_conf=jnp.zeros((args.low_h * 3, args.low_w * 3), jnp.float32))
+    params = net.init(jax.random.PRNGKey(0), **dummy)
     opt = up_train.make_optimizer(args.lr, decay_steps=args.steps)
     opt_state = opt.init(params)
 
     flat = [s for seg in train_segs for s in seg]
     rng = np.random.default_rng(0)
+
+    import functools
+
+    if args.loss == "mse":
+        def mse_loss(params, net, s):
+            out = net.apply(params, s.color, s.motion, s.depth, s.jitter,
+                            s.acc_out, s.acc_conf)
+            return jnp.mean((out - s.target) ** 2), out
+
+        @functools.partial(jax.jit, static_argnames=("net", "opt"))
+        def step_fn(params, opt_state, net, opt, s):
+            (loss, out), grads = jax.value_and_grad(
+                mse_loss, has_aux=True)(params, net, s)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax_apply(params, updates), opt_state, loss, out
+
+        import optax
+
+        def optax_apply(params, updates):
+            return optax.apply_updates(params, updates)
+    else:
+        step_fn = res_mod.train_step
+
     t0 = time.time()
     for i in range(args.steps):
         s = flat[rng.integers(len(flat))]
-        params, opt_state, loss, _ = res_mod.train_step(
+        params, opt_state, loss, _ = step_fn(
             params, opt_state, net, opt, s)
         if i % 100 == 0:
             print(f"step {i}: loss {float(loss):.4f}", flush=True)

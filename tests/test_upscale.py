@@ -97,3 +97,46 @@ def test_model_registry_variants():
 
     with pytest.raises(KeyError):
         models.get("nope/x")
+
+
+def test_residual_head_checkpoint_loads_and_is_safe():
+    """The committed residual-head checkpoint (VERDICT r3 #3) loads and
+    behaves as trained: a small, bounded correction on top of the
+    temporal accumulator (measured ~neutral - the formal negative is
+    recorded in PERF.md/BASELINE.md; the head ships because its contract
+    guarantees it can never regress far below the accumulator it rides)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rvgrt_tpu.driver import checkpoint as ck
+    from rvgrt_tpu.upscale import residual as res_mod
+
+    path = os.path.join(os.path.dirname(__file__), "..", "checkpoints",
+                        "residual_head.pkl")
+    assert os.path.exists(path), "checkpoint must be committed"
+    blob = ck.load_params(path)
+    assert blob["kind"] == "residual_head"
+    net = res_mod.ResidualHead(features=blob["features"],
+                               depth_layers=blob["layers"])
+    rng = np.random.default_rng(3)
+    h, w = 24, 32
+    color = jnp.asarray(rng.random((h, w, 3), np.float32))
+    motion = jnp.asarray(rng.normal(0, 0.01, (h, w, 2)).astype(np.float32))
+    depth = jnp.asarray(rng.random((h, w), np.float32))
+    jitter = jnp.zeros((2,), jnp.float32)
+    acc_out = jnp.asarray(rng.random((3 * h, 3 * w, 3), np.float32))
+    acc_conf = jnp.asarray(rng.random((3 * h, 3 * w), np.float32) * 12)
+    out = net.apply(blob["params"], color, motion, depth, jitter,
+                    acc_out, acc_conf)
+    assert out.shape == acc_out.shape
+    assert bool(jnp.isfinite(out).all())
+    assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 1.0
+    # trained to a small correction: the residual must stay bounded
+    assert float(jnp.abs(out - jnp.clip(acc_out, 0, 1)).mean()) < 0.05
+    # deterministic
+    out2 = net.apply(blob["params"], color, motion, depth, jitter,
+                     acc_out, acc_conf)
+    assert (np.asarray(out) == np.asarray(out2)).all()
