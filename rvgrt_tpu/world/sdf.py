@@ -120,9 +120,15 @@ def build_sdf(coarse_solid: jax.Array, cfg: WorldConfig,
         # at 1024^3 - the kernel pays off only for long-lived processes
         # that rebuild worlds repeatedly (compile census, PERF.md r4).
         import os
-        use_pallas = (jax.default_backend() not in ("cpu",)
-                      and cfg.sdf_size_x >= 128
-                      and os.environ.get("RVGRT_SDF_PALLAS", "0") == "1")
+        on_tpu = (jax.default_backend() not in ("cpu",)
+                  and cfg.sdf_size_x >= 128)
+        # big grids NEED the kernel regardless: the jnp pass materializes
+        # i32 temps ~16x the u8 volume - 16+ GB at the reference world's
+        # 2048x256x2048 coarse grid (measured HBM OOM: 24.01G of 15.75G),
+        # while the Pallas pass streams blocks through VMEM
+        big = cfg.sdf_num_cells > (1 << 28)
+        use_pallas = on_tpu and (
+            big or os.environ.get("RVGRT_SDF_PALLAS", "0") == "1")
     # axis order in the array is (z, y, x)
     dist_x = _axis_distance_1d(coarse_solid, axis=2, cap=cap)
     if use_pallas:

@@ -112,21 +112,41 @@ def to_brick_words(bits: jax.Array, cfg: WorldConfig) -> jax.Array:
     Brick word index = (x>>2) | (y>>1) << (sx-2) | (z>>2) << (sx-2+sy-1);
     bit within word = (x&3) | (y&1)<<2 | (z&3)<<3.  Same total size as the
     canonical packing (num_voxels / 32 uint32 words).  Built once per world.
+
+    Pure word-level nibble shuffles: each canonical 32-bit word holds 8
+    aligned 4-voxel x-quads, and a brick word is the OR of its 8 (by, bz)
+    quads shifted to ``4*by + 8*bz`` - so the repack is 8 strided slices
+    x 8 nibble extracts, no 32-way bit expansion (the old per-bit
+    formulation ran 722 s at the 4096x512x4096 world; this shape is
+    ~dense-op-count x volume).  z-chunked to bound temps.
     """
-    zc, yc, xc = cfg.size_z // BRICK_Z, cfg.size_y // BRICK_Y, \
-        cfg.size_x // BRICK_X
-    w = (_U32(1) << jnp.arange(32, dtype=_U32)).reshape(
-        BRICK_Z, 1, BRICK_Y, 1, BRICK_X)  # 1 << (bx | by<<2 | bz<<3)
-    vol = bits.reshape(cfg.size_z, cfg.size_y, cfg.size_x // 32)
+    xw = cfg.size_x // 32
+    vol = bits.reshape(cfg.size_z, cfg.size_y, xw)
 
-    def chunk(zw):
-        # one z-group of BRICK_Z planes -> (yc, xc) brick words
-        b = ((zw[..., None] >> jnp.arange(32, dtype=_U32)) & _U32(1))
-        b = b.reshape(BRICK_Z, yc, BRICK_Y, xc, BRICK_X)
-        return (b * w).sum(axis=(0, 2, 4), dtype=_U32)
+    def chunk_fn(v):
+        # v: (cz, sy, xw) with cz % BRICK_Z == 0
+        czb = v.shape[0] // BRICK_Z
+        yb = cfg.size_y // BRICK_Y
+        acc = jnp.zeros((czb, yb, xw * 8), _U32)
+        for bz in range(BRICK_Z):
+            for by in range(BRICK_Y):
+                sub = v[bz::BRICK_Z, by::BRICK_Y]        # (czb, yb, xw)
+                sh = _U32(4 * by + 8 * bz)
+                for xg in range(8):
+                    quad = (sub >> _U32(4 * xg)) & _U32(0xF)
+                    acc = acc.at[:, :, xg::8].add(quad << sh)
+        return acc
 
-    out = jax.lax.map(chunk, vol.reshape(zc, BRICK_Z, cfg.size_y,
-                                         cfg.size_x // 32))
+    # bound chunk temps to ~256 MB of u32
+    chunks = max(1, (vol.size * 4) >> 28)
+    while chunks > 1 and (cfg.size_z % chunks
+                          or (cfg.size_z // chunks) % BRICK_Z):
+        chunks -= 1
+    if chunks <= 1:
+        return chunk_fn(vol).reshape(-1)
+    out = jax.lax.map(chunk_fn,
+                      vol.reshape((chunks, cfg.size_z // chunks)
+                                  + vol.shape[1:]))
     return out.reshape(-1)
 
 
@@ -149,14 +169,28 @@ def column_height(bits: jax.Array, cfg: WorldConfig) -> jax.Array:
     Feeds the heightfield sun-shadow GI init (``gi.update.
     init_gi_heightfield``).  Assembled with 32 strided column writes
     instead of a (z, x/32, 32) -> (z, x) reshape, whose size-32 minor dim
-    tile-pads 4x on TPU (PERF.md layout notes)."""
+    tile-pads 4x on TPU (PERF.md layout notes).  Runs in z-chunks
+    (``lax.map``): each per-bit pass materializes an i32 temp the size of
+    the word volume - 1 GB x many live temps at the reference's
+    4096x512x4096 world (measured 24 GB HBM OOM unchunked)."""
     words = bits.reshape(cfg.size_z, cfg.size_y, cfg.size_x // 32)
     ylev = jnp.arange(cfg.size_y, dtype=_I32)[None, :, None] + 1
-    out = jnp.zeros((cfg.size_z, cfg.size_x), _I32)
-    for b in range(32):
-        anyb = ((words >> jnp.uint32(b)) & jnp.uint32(1)).astype(_I32)
-        out = out.at[:, b::32].set(jnp.max(anyb * ylev, axis=1))
-    return out
+
+    def chunk_fn(w):
+        out = jnp.zeros((w.shape[0], cfg.size_x), _I32)
+        for b in range(32):
+            anyb = ((w >> jnp.uint32(b)) & jnp.uint32(1)).astype(_I32)
+            out = out.at[:, b::32].set(jnp.max(anyb * ylev, axis=1))
+        return out
+
+    # bound the per-bit i32 temp to ~128 MB
+    chunks = max(1, (words.size * 4) >> 27)
+    if chunks <= 1 or cfg.size_z % chunks:
+        return chunk_fn(words)
+    out = jax.lax.map(chunk_fn,
+                      words.reshape((chunks, cfg.size_z // chunks)
+                                    + words.shape[1:]))
+    return out.reshape(cfg.size_z, cfg.size_x)
 
 
 def coarse_occupancy(bits: jax.Array, cfg: WorldConfig,
