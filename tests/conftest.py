@@ -24,8 +24,29 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache: the world-gen / SDF / tracer programs are
-# compile-heavy on CPU; cache across test runs.
-_CACHE = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+# compile-heavy on CPU; cache across test runs.  The directory is keyed
+# by the HOST CPU's feature set: XLA:CPU executables compiled on a
+# machine with different features (e.g. AMX) load with a "could lead to
+# SIGILL" warning and have segfaulted the suite mid-run when the repo
+# cache migrates between driver hosts.
+import hashlib
+
+
+def _cpu_fingerprint() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+
+
+_CACHE = os.path.join(os.path.dirname(__file__), "..", ".jax_cache",
+                      f"cpu-{_cpu_fingerprint()}")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
