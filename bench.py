@@ -74,11 +74,15 @@ def main():
     config4 = os.environ.get("BENCH_CONFIG4", "1") == "1"
     soft = os.environ.get("BENCH_SOFT", "1") == "1"
     fast_trace = os.environ.get("BENCH_FAST_TRACE", "1") == "1"
-    # checkerboard primaries: trace half the full-res pixels per frame
-    # (alternating), temporal accumulator fills (pipeline.checker_*).
+    # rate-cut primaries under the temporal accumulator: "1"/"2" =
+    # checkerboard (half the pixels per frame, pipeline.checker_*),
+    # "4" = 4-phase quarter interleave (pipeline.quarter_*, the
+    # DLSS-Ultra-Performance-class rate; quality measured in
+    # probe_checker_motion --mode quarter), "0" = every pixel.
     # Requires the upscaler in the loop.
-    checker = (os.environ.get("BENCH_CHECKER", "1") == "1"
-               and up_mode == "temporal")
+    rate_mode = os.environ.get("BENCH_CHECKER", "1")
+    checker = rate_mode in ("1", "2") and up_mode == "temporal"
+    quarter = rate_mode == "4" and up_mode == "temporal"
     # slim carry measured cost-NEUTRAL on-chip (probe_r7: 302 -> 301 ms
     # primary) - the superstep is not carry-HBM-bound; default off to
     # keep the incremental reference arithmetic
@@ -267,13 +271,15 @@ def main():
     def build_ops(ec):
         """(base, post, gi_step) jits for one operating point."""
         ck = checker and ec.render.width == width
+        qk = quarter and ec.render.width == width
 
         def _base(b, s, g, a, cam, sky, tbl, par):
             return pipeline.render_frame(b, s, g, a, cam, ec,
                                          include_gi=False, sky_y=sky,
                                          table=tbl,
                                          return_gbuffer=include_gi,
-                                         checker_parity=par if ck else None)
+                                         checker_parity=par if ck else None,
+                                         quarter_phase=par if qk else None)
 
         def _post(out, gb, g, s, cam, hist, par, addend, reuse=False):
             """-> (frame outputs, next upscaler state, composite addend).
@@ -302,6 +308,13 @@ def main():
                                    depth=ex(out.depth))
                 valid = pipeline.checker_valid_mask(ec.render.height,
                                                     ec.render.width, par)
+            elif qk:
+                ex = lambda a: pipeline.quarter_expand(a, par)  # noqa: E731
+                out = out._replace(color=ex(out.color),
+                                   motion=ex(out.motion),
+                                   depth=ex(out.depth))
+                valid = pipeline.quarter_valid_mask(ec.render.height,
+                                                    ec.render.width, par)
             if upscale and ec.render.width == width:
                 if up_mode == "net":
                     hi, _ = up_model.upscale(up_net, up_params, out.color,
@@ -326,11 +339,11 @@ def main():
 
         post_c = jax.jit(_ft.partial(_post, reuse=False))
         post_r = jax.jit(_ft.partial(_post, reuse=True))
-        return jax.jit(_base), (post_c, post_r), jax.jit(_gi), ck
+        return jax.jit(_base), (post_c, post_r), jax.jit(_gi), (ck, qk)
 
     def run_point(ec, label, frames):
         """Measure one operating point; returns (fps, stats dict)."""
-        base_j, (post_c, post_r), gi_j, ck = build_ops(ec)
+        base_j, (post_c, post_r), gi_j, (ck, qk) = build_ops(ec)
         from rvgrt_tpu.upscale import model as up_model_l
         if upscale and ec.render.width == width:
             if up_mode == "net":
@@ -374,13 +387,14 @@ def main():
             o = gi_update.advance_offset(o, ec)
         off_dev = {v: jax.device_put(jnp.int32(v)) for v in set(off_seq)}
         fr0 = jax.device_put(jnp.uint32(0))
-        par_dev = [jax.device_put(jnp.int32(0)), jax.device_put(jnp.int32(1))]
+        par_dev = [jax.device_put(jnp.int32(i)) for i in range(4)]
 
-        cw = (ec.render.width // 2) if ck else ec.render.width
-        addend0 = jnp.zeros((ec.render.height, cw, 3), jnp.float32)
+        cw = (ec.render.width // 2) if (ck or qk) else ec.render.width
+        chh = (ec.render.height // 2) if qk else ec.render.height
+        addend0 = jnp.zeros((chh, cw, 3), jnp.float32)
 
         def frame(i, cam, gi, offset, hist, acc, addend):
-            par = par_dev[i & 1]
+            par = par_dev[i & (3 if qk else 1)]
             # GI cadence: run the progressive window every Nth frame (the
             # reference's contract is the ~512-frame full-grid sweep
             # PERIOD, not the per-frame call; cadence 2 doubles the sweep
@@ -458,7 +472,8 @@ def main():
         hw, hh = ec.render.half_width, ec.render.half_height
         q = ec.render.prepass_cascade
         rays = {
-            "primary": (w_ * h_) // 2 if ck else w_ * h_,
+            "primary": (w_ * h_) // 4 if qk
+                       else ((w_ * h_) // 2 if ck else w_ * h_),
             "prepass_primary": hw * hh,
             # soft shadows march one SDF ray per STRIDED prepass site
             # (penumbras interpolated between sites); hard shadows trace
@@ -523,6 +538,8 @@ def main():
                else "reference-exact cadence")
     if checker:
         sem_tag = "checkerboard primaries, " + sem_tag
+    if quarter:
+        sem_tag = "quarter-rate primaries (4-phase), " + sem_tag
     if include_gi and gi_cadence > 1:
         sem_tag += f", GI window every {gi_cadence} frames"
     if include_gi and comp_cadence > 1:

@@ -616,6 +616,38 @@ def checker_select(a: jnp.ndarray, parity, y0=0) -> jnp.ndarray:
     return jnp.where(off == 0, a[:, 0::2], a[:, 1::2])
 
 
+def quarter_select(a: jnp.ndarray, phase) -> jnp.ndarray:
+    """(H, W[, C]) -> (H/2, W/2[, C]): keep pixels with ``y & 1 ==
+    phase >> 1`` and ``x & 1 == phase & 1`` - the quarter of the pixels a
+    4-phase interleaved frame traces (the quarter-rate analog of the
+    checkerboard; DLSS-Ultra-Performance-class rate cutting under the
+    temporal accumulator).  ``phase`` (0..3) may be traced."""
+    h, w = a.shape[0], a.shape[1]
+    py = (jnp.asarray(phase, jnp.int32) >> 1) & 1
+    px = jnp.asarray(phase, jnp.int32) & 1
+    a4 = a.reshape((h // 2, 2, w // 2, 2) + a.shape[2:])
+    return a4[:, py, :, px]
+
+
+def quarter_expand(q: jnp.ndarray, phase=None) -> jnp.ndarray:
+    """(H/2, W/2[, C]) -> (H, W[, C]) nearest fill.
+
+    ``q[i, j]`` lands on all four pixels of its 2x2 quad, so the traced
+    pixel (2i + py, 2j + px) carries its exact value for EVERY phase -
+    the expand is phase-independent; the accumulator's validity mask
+    (``quarter_valid_mask``) is what down-weights the three copies."""
+    return jnp.repeat(jnp.repeat(q, 2, axis=0), 2, axis=1)
+
+
+def quarter_valid_mask(height: int, width: int, phase) -> jnp.ndarray:
+    """(H, W) bool: True where this 4-phase frame traced a pixel."""
+    py = (jnp.asarray(phase, jnp.int32) >> 1) & 1
+    px = jnp.asarray(phase, jnp.int32) & 1
+    ys = jnp.arange(height, dtype=jnp.int32)[:, None]
+    xs = jnp.arange(width, dtype=jnp.int32)[None, :]
+    return ((ys & 1) == py) & ((xs & 1) == px)
+
+
 def _shift_cols(a: jnp.ndarray, delta: int) -> jnp.ndarray:
     """Edge-clamped static column shift: out[:, j] = a[:, clip(j+delta)]."""
     if delta == 0:
@@ -678,7 +710,7 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
                 include_gi: bool = True, gi_occ=None,
                 sky_y=None, table=None,
                 return_gbuffer: bool = False, trace_fn=None,
-                checker_parity=None, hint_half=None,
+                checker_parity=None, quarter_phase=None, hint_half=None,
                 hint_full=None) -> FrameOutputs:
     """Render rows [y0, y0 + slab_h) of the frame.
 
@@ -760,6 +792,16 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
                            y0=y0, rows=slab_h)
     if checker_parity is not None:
         sel = lambda a: checker_select(a, checker_parity, y0=y0)  # noqa: E731
+        dx, dy, dz = sel(dx), sel(dy), sel(dz)
+        start_dist = sel(start_dist)
+        if shadow_full is not None:
+            shadow_full = sel(shadow_full)
+    elif quarter_phase is not None:
+        # 4-phase interleave: trace one pixel per 2x2 quad per frame
+        # (quarter_select; the accumulator fills from history + the
+        # validity mask).  Same quality-gated family as the checkerboard,
+        # at half its per-frame ray budget.
+        sel = lambda a: quarter_select(a, quarter_phase)  # noqa: E731
         dx, dy, dz = sel(dx), sel(dy), sel(dz)
         start_dist = sel(start_dist)
         if shadow_full is not None:
@@ -900,7 +942,7 @@ def render_frame(bits, sdf, gi, atlas, cam: CameraArrays,
                  ecfg: EngineConfig, include_gi: bool = True,
                  gi_occ=None, sky_y=None, table=None,
                  return_gbuffer: bool = False, trace_fn=None,
-                 checker_parity=None, hint_half=None,
+                 checker_parity=None, quarter_phase=None, hint_half=None,
                  hint_full=None) -> FrameOutputs:
     """Full frame = one slab covering every row."""
     return render_slab(bits, sdf, gi, atlas, cam, ecfg,
@@ -908,6 +950,7 @@ def render_frame(bits, sdf, gi, atlas, cam: CameraArrays,
                        include_gi=include_gi, gi_occ=gi_occ, sky_y=sky_y,
                        table=table, return_gbuffer=return_gbuffer,
                        trace_fn=trace_fn, checker_parity=checker_parity,
+                       quarter_phase=quarter_phase,
                        hint_half=hint_half, hint_full=hint_full)
 
 

@@ -39,6 +39,10 @@ def main():
                    help="frames excluded from the reported means")
     p.add_argument("--ssaa", type=int, default=4)
     p.add_argument("--gi", action="store_true", default=True)
+    p.add_argument("--mode", choices=["checker", "quarter"],
+                   default="checker",
+                   help="rate-cut shape: 2-phase checkerboard or 4-phase "
+                        "quarter interleave")
     p.add_argument("--comp-cadence", type=int, default=2,
                    help="GI-composite reuse cadence for the checker "
                         "variant (1 = composite every frame)")
@@ -87,11 +91,18 @@ def main():
         b, s, g, a, cam, ecfg, include_gi=args.gi, sky_y=sky, table=tbl))
     # the checker variant runs the BENCH pipeline shape: split dispatch
     # (base + gi_composite) so the composite can be reused across frames
-    ck_j = jax.jit(lambda b, s, g, a, cam, sky, tbl, par:
-                   pipeline.render_frame(
-                       b, s, g, a, cam, ecfg, include_gi=False, sky_y=sky,
-                       table=tbl, return_gbuffer=args.gi,
-                       checker_parity=par))
+    if args.mode == "quarter":
+        ck_j = jax.jit(lambda b, s, g, a, cam, sky, tbl, par:
+                       pipeline.render_frame(
+                           b, s, g, a, cam, ecfg, include_gi=False,
+                           sky_y=sky, table=tbl, return_gbuffer=args.gi,
+                           quarter_phase=par))
+    else:
+        ck_j = jax.jit(lambda b, s, g, a, cam, sky, tbl, par:
+                       pipeline.render_frame(
+                           b, s, g, a, cam, ecfg, include_gi=False,
+                           sky_y=sky, table=tbl, return_gbuffer=args.gi,
+                           checker_parity=par))
     comp_j = jax.jit(lambda col, gb, g, s: pipeline.gi_composite(
         col, gb, g, s, ecfg, return_addend=True))
     hi_j = jax.jit(lambda b, s, g, a, cam, sky, tbl: pipeline.render_frame(
@@ -132,7 +143,7 @@ def main():
         out_full, st_full = temporal.temporal_upscale(
             full.color, full.motion, full.depth, cam.jitter, st_full)
 
-        par = jnp.int32(i & 1)
+        par = jnp.int32(i & (3 if args.mode == "quarter" else 1))
         r = ck_j(world.bits, world.sdf, gi_grid, world.atlas, cam,
                  world.sky_y, world.trace_table, par)
         half, gb = r if args.gi else (r, None)
@@ -143,8 +154,12 @@ def main():
             else:
                 col = jnp.clip(half.color + addend_prev, 0.0, 1.0)
             half = half._replace(color=col)
-        ex = lambda a: pipeline.checker_expand(a, par)  # noqa: E731
-        valid = pipeline.checker_valid_mask(h, w, par)
+        if args.mode == "quarter":
+            ex = lambda a: pipeline.quarter_expand(a, par)  # noqa: E731
+            valid = pipeline.quarter_valid_mask(h, w, par)
+        else:
+            ex = lambda a: pipeline.checker_expand(a, par)  # noqa: E731
+            valid = pipeline.checker_valid_mask(h, w, par)
         out_ck, st_ck = temporal.temporal_upscale(
             ex(half.color), ex(half.motion), ex(half.depth), cam.jitter,
             st_ck, valid=valid)

@@ -780,3 +780,48 @@ def test_cone_stride_div16_image_gate():
     mse = float(np.mean((exact - got) ** 2))
     psnr = 99.0 if mse < 1e-12 else 10.0 * math.log10(1.0 / mse)
     assert psnr >= 35.0, psnr
+
+
+def test_quarter_traced_pixels_match_full(engine):
+    """4-phase quarter-rate rendering (quarter_phase) must reproduce the
+    full render EXACTLY at every traced pixel for all 4 phases, with the
+    phases tiling the frame (quality under motion measured in
+    scripts/probe_checker_motion --mode quarter: -3.54 dB vs full-rate
+    at fast pan - the reason this is an opt-in tier, BENCH_CHECKER=4,
+    not the headline default)."""
+    from rvgrt_tpu.driver.engine import camera_arrays
+    from rvgrt_tpu.render import pipeline
+
+    w = engine.world
+    ecfg = dataclasses.replace(
+        engine.ecfg,
+        render=dataclasses.replace(engine.ecfg.render, gi_res_divisor=1))
+    cam = camera_arrays(
+        engine.character.camera,
+        vp=engine.character.unjittered_view_projection,
+        prev_vp=engine.character.prev_unjittered_view_projection)
+    full = pipeline.render_frame(w.bits, w.sdf, w.gi, w.atlas, cam, ecfg,
+                                 include_gi=True, sky_y=w.sky_y,
+                                 table=w.trace_table)
+    h, wd = ecfg.render.height, ecfg.render.width
+    cover = np.zeros((h, wd), bool)
+    for phase in range(4):
+        q = pipeline.render_frame(w.bits, w.sdf, w.gi, w.atlas, cam,
+                                  ecfg, include_gi=True, sky_y=w.sky_y,
+                                  table=w.trace_table,
+                                  quarter_phase=jnp.int32(phase))
+        assert q.color.shape == (h // 2, wd // 2, 3)
+        valid = np.asarray(pipeline.quarter_valid_mask(h, wd, phase))
+        assert valid.sum() == h * wd // 4
+        assert not np.any(cover & valid)
+        cover |= valid
+        for name, qbuf, fbuf in (("color", q.color, full.color),
+                                 ("motion", q.motion, full.motion),
+                                 ("depth", q.depth, full.depth)):
+            ex = np.asarray(pipeline.quarter_expand(qbuf, phase))
+            fv = np.asarray(fbuf)
+            np.testing.assert_allclose(
+                ex[valid], fv[valid], atol=1e-6,
+                err_msg=f"phase={phase} {name}")
+            assert np.isfinite(ex[~valid]).all()
+    assert cover.all()
