@@ -62,7 +62,9 @@ def main():
     ref_world = os.environ.get("BENCH_REF_WORLD", "0") == "1"
     width = int(os.environ.get("BENCH_W", "1280"))
     height = int(os.environ.get("BENCH_H", "800"))
-    n_frames = int(os.environ.get("BENCH_FRAMES", "16"))
+    # 32 frames: the pipeline fill/drain tax is ~1 frame, so longer
+    # windows read the steady state (~3% vs ~6% amortization at 16)
+    n_frames = int(os.environ.get("BENCH_FRAMES", "32"))
     include_gi = os.environ.get("BENCH_GI", "1") == "1"
     # BENCH_UPSCALE: "temporal" (default) = analytic temporal
     # super-resolution accumulator; "net" / "1" = learned checkpoint;

@@ -45,8 +45,7 @@ def _cpu_fingerprint() -> str:
     return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
 
 
-_CACHE = os.path.join(os.path.dirname(__file__), "..", ".jax_cache",
-                      f"cpu-{_cpu_fingerprint()}")
+_CACHE = os.path.join("/tmp", f"rvgrt_jax_cache_cpu-{_cpu_fingerprint()}")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
