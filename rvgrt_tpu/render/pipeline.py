@@ -711,8 +711,16 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
                 sky_y=None, table=None,
                 return_gbuffer: bool = False, trace_fn=None,
                 checker_parity=None, quarter_phase=None, hint_half=None,
-                hint_full=None) -> FrameOutputs:
+                hint_full=None, start_override=None,
+                shadow_override=None) -> FrameOutputs:
     """Render rows [y0, y0 + slab_h) of the frame.
+
+    ``start_override``/``shadow_override``: precomputed full-res
+    conservative start distances / shadow factors for this slab - the
+    prepass is skipped entirely (the split-dispatch experiment: the fused
+    GI frame measurably lands XLA's slow schedule while split stages land
+    the fast one, PERF.md "schedule lottery").  The returned half_dist/
+    half_shadow are then placeholders.
 
     The unit of pixel-parallel work: a full frame is one slab; a sharded
     frame is one slab per device (parallel/sharding.py), each recomputing a
@@ -758,14 +766,24 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
     t = max(rcfg.trace_tile_rows, 1)
     hrows = -(-hneed // t) * t
     shadow_decoupled = (lcfg.soft_shadows
-                        and rcfg.shadow_site_divisor > 0)
-    half_dist, half_shadow = half_res_prepass(
-        bits, sdf, cfg, rcfg, lcfg, cam, hy0=hy0, hrows=hrows,
-        trace_fn=trace_fn, sky_y=sky_y, start_hint=hint_half,
-        want_shadow=not shadow_decoupled)
+                        and rcfg.shadow_site_divisor > 0
+                        and shadow_override is None)
+    if start_override is not None:
+        # precomputed starts/shadows (split-dispatch callers): skip the
+        # prepass; placeholder half buffers keep the output contract
+        half_dist = jnp.zeros((hneed, rcfg.half_width), _F32)
+        half_shadow = jnp.ones_like(half_dist)
+    else:
+        half_dist, half_shadow = half_res_prepass(
+            bits, sdf, cfg, rcfg, lcfg, cam, hy0=hy0, hrows=hrows,
+            trace_fn=trace_fn, sky_y=sky_y, start_hint=hint_half,
+            want_shadow=not shadow_decoupled)
     half_dist = half_dist[:hneed]
     half_shadow = half_shadow[:hneed]
-    start_dist = _min_dist_upsample_slab(half_dist, slab_h, d=pd)
+    if start_override is not None:
+        start_dist = start_override
+    else:
+        start_dist = _min_dist_upsample_slab(half_dist, slab_h, d=pd)
     # Deliberate quirk fix (SURVEY app. B class, like the c_cam jitter
     # fix): clamp the conservative start at the camera.  The reference
     # feeds minDist's ``dist - 8`` to trace() unclamped
@@ -784,8 +802,11 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
     if hint_full is not None:
         start_dist = jnp.maximum(
             start_dist, _take_rows(hint_full, y0, slab_h, rcfg.height))
-    shadow_full = (None if shadow_decoupled
-                   else _bilinear_upsample_slab(half_shadow, slab_h, d=pd))
+    if shadow_override is not None:
+        shadow_full = shadow_override
+    else:
+        shadow_full = (None if shadow_decoupled else
+                       _bilinear_upsample_slab(half_shadow, slab_h, d=pd))
 
     # ---- 3: full-res primary ----
     dx, dy, dz = _ray_dirs(cam, w, rcfg.height, pixel_center=False,
@@ -943,7 +964,8 @@ def render_frame(bits, sdf, gi, atlas, cam: CameraArrays,
                  gi_occ=None, sky_y=None, table=None,
                  return_gbuffer: bool = False, trace_fn=None,
                  checker_parity=None, quarter_phase=None, hint_half=None,
-                 hint_full=None) -> FrameOutputs:
+                 hint_full=None, start_override=None,
+                 shadow_override=None) -> FrameOutputs:
     """Full frame = one slab covering every row."""
     return render_slab(bits, sdf, gi, atlas, cam, ecfg,
                        y0=jnp.int32(0), slab_h=ecfg.render.height,
@@ -951,7 +973,9 @@ def render_frame(bits, sdf, gi, atlas, cam: CameraArrays,
                        table=table, return_gbuffer=return_gbuffer,
                        trace_fn=trace_fn, checker_parity=checker_parity,
                        quarter_phase=quarter_phase,
-                       hint_half=hint_half, hint_full=hint_full)
+                       hint_half=hint_half, hint_full=hint_full,
+                       start_override=start_override,
+                       shadow_override=shadow_override)
 
 
 def gi_composite(color, gb: GBuffer, gi, sdf, ecfg: EngineConfig,
