@@ -23,29 +23,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-# Persistent compilation cache: the world-gen / SDF / tracer programs are
-# compile-heavy on CPU; cache across test runs.  The directory is keyed
-# by the HOST CPU's feature set: XLA:CPU executables compiled on a
-# machine with different features (e.g. AMX) load with a "could lead to
-# SIGILL" warning and have segfaulted the suite mid-run when the repo
-# cache migrates between driver hosts.
-import hashlib
-
-
-def _cpu_fingerprint() -> str:
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
-    except OSError:
-        pass
-    import platform
-
-    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
-
-
-_CACHE = os.path.join("/tmp", f"rvgrt_jax_cache_cpu-{_cpu_fingerprint()}")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NO persistent compilation cache for the CPU suite: XLA:CPU executable
+# deserialization segfaults non-deterministically in this jaxlib - four
+# full-suite runs on 2026-08-19 died inside
+# compilation_cache.get_executable_and_time / backend_compile_and_load,
+# including with a FRESH cache directory written and read back within
+# one run (so not stale/foreign/truncated entries; entries compiled on
+# other hosts additionally warn "may SIGILL" via cpu_aot_loader).  Cold
+# compiles cost a few extra minutes per run; a segfaulting suite costs
+# everything.  The TPU bench/probe paths keep their cache (the remote
+# compile service does the deserialization there).
+jax.config.update("jax_enable_compilation_cache", False)
