@@ -23,14 +23,35 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-# NO persistent compilation cache for the CPU suite: XLA:CPU executable
-# deserialization segfaults non-deterministically in this jaxlib - four
-# full-suite runs on 2026-08-19 died inside
-# compilation_cache.get_executable_and_time / backend_compile_and_load,
-# including with a FRESH cache directory written and read back within
-# one run (so not stale/foreign/truncated entries; entries compiled on
-# other hosts additionally warn "may SIGILL" via cpu_aot_loader).  Cold
-# compiles cost a few extra minutes per run; a segfaulting suite costs
-# everything.  The TPU bench/probe paths keep their cache (the remote
-# compile service does the deserialization there).
-jax.config.update("jax_enable_compilation_cache", False)
+# Persistent compilation cache, host-local under /tmp: the suite is
+# compile-heavy on CPU (a fully cold run takes hours; warm ~25 min).
+# Two known hazards, both observed 2026-08-19 and both mitigated by the
+# /tmp + host-fingerprint keying rather than the repo-shared .jax_cache:
+# (a) XLA:CPU executables compiled on a DIFFERENT machine load with a
+# "may SIGILL" cpu_aot_loader warning and can crash; (b) XLA:CPU
+# executable deserialization segfaulted in several heavily-loaded runs
+# (concurrent TPU probe processes on the same 1-CPU host) but reproduces
+# in neither isolated module runs nor warm re-runs - a crashed run
+# leaves a valid warm cache, so a rerun completes.  If the suite ever
+# segfaults inside compilation_cache.get_executable_and_time, delete
+# /tmp/rvgrt_jax_cache_cpu-* and rerun.
+import hashlib
+
+
+def _cpu_fingerprint() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+
+
+_CACHE = os.path.join("/tmp", f"rvgrt_jax_cache_cpu-{_cpu_fingerprint()}")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
