@@ -23,35 +23,36 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-# Persistent compilation cache, host-local under /tmp: the suite is
-# compile-heavy on CPU (a fully cold run takes hours; warm ~25 min).
-# Two known hazards, both observed 2026-08-19 and both mitigated by the
-# /tmp + host-fingerprint keying rather than the repo-shared .jax_cache:
-# (a) XLA:CPU executables compiled on a DIFFERENT machine load with a
-# "may SIGILL" cpu_aot_loader warning and can crash; (b) XLA:CPU
-# executable deserialization segfaulted in several heavily-loaded runs
-# (concurrent TPU probe processes on the same 1-CPU host) but reproduces
-# in neither isolated module runs nor warm re-runs - a crashed run
-# leaves a valid warm cache, so a rerun completes.  If the suite ever
-# segfaults inside compilation_cache.get_executable_and_time, delete
-# /tmp/rvgrt_jax_cache_cpu-* and rerun.
-import hashlib
+# NO persistent compilation cache for the CPU suite (RVGRT_TEST_CACHE=1
+# re-enables a host-keyed /tmp cache at your own risk): XLA:CPU
+# executable DESERIALIZATION segfaults in this jaxlib - six full-suite
+# runs on 2026-08-19 died inside compilation_cache.get_executable_and_
+# time / backend_compile_and_load at varying tests (single- and multi-
+# device programs, fresh and warm cache directories, loaded and idle
+# host), while every cache-less module run stayed green.  Cold compiles
+# make a full run slow (~1-2.5 h on a 1-CPU host; modules are fine);
+# a segfaulting suite is worse.  The TPU bench/probe paths keep their
+# cache - the remote compile service deserializes there, not jaxlib.
+if os.environ.get("RVGRT_TEST_CACHE", "0") == "1":
+    import hashlib
 
+    def _cpu_fingerprint() -> str:
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        return hashlib.sha1(line.encode()).hexdigest()[:10]
+        except OSError:
+            pass
+        import platform
 
-def _cpu_fingerprint() -> str:
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
-    except OSError:
-        pass
-    import platform
+        return hashlib.sha1(
+            platform.processor().encode()).hexdigest()[:10]
 
-    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
-
-
-_CACHE = os.path.join("/tmp", f"rvgrt_jax_cache_cpu-{_cpu_fingerprint()}")
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join("/tmp", f"rvgrt_jax_cache_cpu-{_cpu_fingerprint()}"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+else:
+    jax.config.update("jax_enable_compilation_cache", False)
