@@ -56,3 +56,19 @@ if os.environ.get("RVGRT_TEST_CACHE", "0") == "1":
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 else:
     jax.config.update("jax_enable_compilation_cache", False)
+
+
+# Free compiled executables between test modules: full-suite runs (only -
+# every module-level run is green) segfault inside the XLA:CPU compiler
+# after ~50 tests of accumulated process state, with and without the
+# persistent cache, at varying tests.  Hundreds of live multi-device CPU
+# executables exhaust some process resource (mapping count is the prime
+# suspect); clearing jax's in-memory caches per module resets it at the
+# cost of some recompilation.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    jax.clear_caches()
