@@ -290,15 +290,35 @@ def main():
             PREVIOUS frame's indirect-light image (GI is low-frequency
             and geometry-attached; measured +0.50 dB cost vs truth on
             the moving eval, probe_checker_motion) - the composite-
-            cadence perf knob (BENCH_COMP_CADENCE)."""
+            cadence perf knob (BENCH_COMP_CADENCE).
+
+            The addend is kept at FULL resolution when the knob is active:
+            under checker/quarter interleave the same half-buffer index
+            maps to a different world pixel each frame (opposite parity /
+            next phase), so reusing raw half-buffer addends would
+            misalign the indirect light by one pixel on top of the
+            one-frame staleness probe_checker_motion measured.  Expand on
+            compute, re-select at the CURRENT parity/phase on reuse."""
             if include_gi:
                 if reuse:
+                    add = addend
+                    if ck:
+                        add = pipeline.checker_select(add, par)
+                    elif qk:
+                        add = pipeline.quarter_select(add, par)
                     out = out._replace(color=jnp.clip(
-                        out.color + addend, 0.0, 1.0))
+                        out.color + add, 0.0, 1.0))
                 else:
                     col, addend = pipeline.gi_composite(
                         out.color, gb, g, s, ec, return_addend=True)
                     out = out._replace(color=col)
+                    if comp_cadence > 1:
+                        # full-res addend only when the reuse knob is live
+                        # (the expand is wasted HBM traffic otherwise)
+                        if ck:
+                            addend = pipeline.checker_expand(addend, par)
+                        elif qk:
+                            addend = pipeline.quarter_expand(addend, par)
             valid = None
             if ck:
                 # expand the half-width checkerboard buffers to the full
@@ -391,9 +411,15 @@ def main():
         fr0 = jax.device_put(jnp.uint32(0))
         par_dev = [jax.device_put(jnp.int32(i)) for i in range(4)]
 
-        cw = (ec.render.width // 2) if (ck or qk) else ec.render.width
-        chh = (ec.render.height // 2) if qk else ec.render.height
-        addend0 = jnp.zeros((chh, cw, 3), jnp.float32)
+        if comp_cadence > 1:
+            # reuse is live: the addend is carried at FULL resolution
+            # (see _post) so parity/phase changes re-select correctly
+            addend0 = jnp.zeros((ec.render.height, ec.render.width, 3),
+                                jnp.float32)
+        else:
+            cw = (ec.render.width // 2) if (ck or qk) else ec.render.width
+            chh = (ec.render.height // 2) if qk else ec.render.height
+            addend0 = jnp.zeros((chh, cw, 3), jnp.float32)
 
         def frame(i, cam, gi, offset, hist, acc, addend):
             par = par_dev[i & (3 if qk else 1)]
@@ -473,18 +499,31 @@ def main():
         # hardcoded w_//2 overcounted prepass rays 4x
         hw, hh = ec.render.half_width, ec.render.half_height
         q = ec.render.prepass_cascade
+        # post-rate primary grid: the buffers the frame actually traces
+        # (checker = half width, quarter = half width AND height)
+        gh = (h_ // 2) if qk else h_
+        gw = (w_ // 2) if (ck or qk) else w_
+        ssd = ec.render.shadow_site_divisor
+        shadow_decoupled = ec.lighting.soft_shadows and ssd > 0
         rays = {
-            "primary": (w_ * h_) // 4 if qk
-                       else ((w_ * h_) // 2 if ck else w_ * h_),
+            "primary": gh * gw,
             "prepass_primary": hw * hh,
-            # soft shadows march one SDF ray per STRIDED prepass site
-            # (penumbras interpolated between sites); hard shadows trace
-            # one hybrid ray per prepass pixel
-            "prepass_shadow": ((hw // ec.lighting.soft_shadow_stride)
-                               * (hh // ec.lighting.soft_shadow_stride)
-                               if ec.lighting.soft_shadows else hw * hh),
+            # shadow-ray population depends on the tier: DECOUPLED soft
+            # shadows (shadow_site_divisor > 0, the bench default) march
+            # one SDF ray per ssd-th site of the POST-rate primary grid
+            # and the prepass runs want_shadow=False (zero prepass shadow
+            # rays - render_slab's shadow_decoupled branch); coupled soft
+            # shadows march one per STRIDED prepass site; hard shadows
+            # trace one hybrid ray per prepass pixel
+            "prepass_shadow": (0 if shadow_decoupled else
+                               ((hw // ec.lighting.soft_shadow_stride)
+                                * (hh // ec.lighting.soft_shadow_stride)
+                                if ec.lighting.soft_shadows else hw * hh)),
             "cascade": (hw // q) * (hh // q) if q > 1 else 0,
         }
+        if shadow_decoupled:
+            # a[::ssd] keeps ceil(n/ssd) sites per axis
+            rays["shadow_sites"] = -(-gh // ssd) * -(-gw // ssd)
         if include_gi:
             # reference rate: 2 rays (sun + bounce) per updated GI cell
             # (GlobalIlluminate, CoarseArray.cu:273-355), amortized over

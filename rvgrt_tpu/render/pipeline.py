@@ -768,6 +768,15 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
     shadow_decoupled = (lcfg.soft_shadows
                         and rcfg.shadow_site_divisor > 0
                         and shadow_override is None)
+    if start_override is not None and shadow_override is None:
+        # the prepass is skipped, so a prepass-COUPLED shadow config
+        # (hard shadows, or soft with shadow_site_divisor == 0) would
+        # silently light every pixel with the all-ones placeholder below
+        assert shadow_decoupled, (
+            "start_override without shadow_override requires decoupled "
+            "shadow sites (lighting.soft_shadows and "
+            "render.shadow_site_divisor > 0); pass shadow_override or "
+            "decouple the shadows")
     if start_override is not None:
         # precomputed starts/shadows (split-dispatch callers): skip the
         # prepass; placeholder half buffers keep the output contract
@@ -840,8 +849,20 @@ def render_slab(bits, sdf, gi, atlas, cam: CameraArrays,
         # RenderConfig.shadow_site_divisor); sites live on the post-
         # checker grid, so under checkerboarding neighbor sites alternate
         # world parity - penumbras are smooth, image-gated like the
-        # prepass-coupled stride
+        # prepass-coupled stride.
+        # Slab anchoring: sites subsample at [::ssd] from the SLAB's row
+        # 0, so global site phase is consistent across sharded slabs only
+        # when slab_h % ssd == 0 (then y0 = k*slab_h is always a site
+        # row) - asserted here; the residual slab effect is the
+        # _expand_even bottom-edge clamp on each slab's last ssd-1 rows
+        # (clamped to the slab's final site instead of interpolating into
+        # the next slab).  Shadows are smooth, so the seam is image-gated
+        # (tests/test_sharding.py::test_sharded_decoupled_shadow_seam).
         ssd = rcfg.shadow_site_divisor
+        assert hit.shape[0] % ssd == 0, (
+            f"post-rate slab rows {hit.shape[0]} not divisible by "
+            f"shadow_site_divisor {ssd}: sharded slabs would sample "
+            f"shadow sites at inconsistent global phases")
         sub = lambda a: a[::ssd, ::ssd]  # noqa: E731
         q = shading.soft_shadow_march(
             sub(res.px), sub(res.py), sub(res.pz),

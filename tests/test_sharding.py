@@ -88,6 +88,48 @@ def test_render_frame_sharded_matches_single_device(world64):
         assert ok.mean() > 0.99, (name, ok.mean())
 
 
+def test_sharded_decoupled_shadow_seam(world64):
+    """Sharded decoupled soft-shadow sites (the bench tier's
+    ``shadow_site_divisor > 0``) vs the full frame: site phase is globally
+    consistent (asserted in render_slab: post-rate slab rows % ssd == 0),
+    and the only divergence is the ``_expand_even`` bottom-edge clamp on
+    each slab's last ssd-1 rows - image-gated here (ADVICE r4: no test
+    covered shadow_site_divisor>0 with sharding)."""
+    from rvgrt_tpu.config import LightingConfig
+
+    cfg, bits, sdf, atlas = world64
+    ecfg = EngineConfig(
+        world=cfg,
+        render=dataclasses.replace(RenderConfig(), width=32, height=64,
+                                   shadow_site_divisor=4),
+        lighting=dataclasses.replace(LightingConfig(), soft_shadows=True,
+                                     soft_shadow_stride=2))
+    gi = gi_grid.zeros(cfg)
+    cam = _camera(cfg)
+
+    single = pipeline.render_frame(bits, sdf, gi, atlas, cam, ecfg,
+                                   include_gi=False)
+    mesh = sharding.make_mesh(8)
+    b, s, g, a = sharding.replicate(mesh, bits, sdf, gi, atlas)
+    shard = sharding.render_frame_sharded(b, s, g, a, cam, ecfg, mesh,
+                                          include_gi=False)
+    sa = np.asarray(single.color)
+    sb = np.asarray(shard.color)
+    assert sb.shape == sa.shape and np.isfinite(sb).all()
+    mse = float(np.mean((sa - sb) ** 2))
+    psnr = 99.0 if mse == 0 else 10.0 * math.log10(1.0 / mse)
+    frac_off = (np.abs(sa - sb).max(axis=-1) > 0.02).mean()
+    assert psnr > 40.0, (psnr, frac_off)
+    assert frac_off < 0.02, (psnr, frac_off)
+    # rows away from slab seams must match exactly (site phase identical):
+    # only the last ssd-1 rows of each 8-row slab may clamp differently
+    seam = np.zeros(64, bool)
+    for k in range(1, 8):
+        seam[8 * k - 3:8 * k] = True
+    interior = np.abs(sa[~seam] - sb[~seam]).max()
+    assert interior < 1e-5, interior
+
+
 def test_temporal_upscale_sharded_matches_single_device():
     """Display-row-sharded temporal upscale == full-frame accumulator, two
     closed-loop frames on the 8-virtual-CPU mesh (the packed state is the
