@@ -76,15 +76,35 @@ def main():
     config4 = os.environ.get("BENCH_CONFIG4", "1") == "1"
     soft = os.environ.get("BENCH_SOFT", "1") == "1"
     fast_trace = os.environ.get("BENCH_FAST_TRACE", "1") == "1"
-    # rate-cut primaries under the temporal accumulator: "1"/"2" =
-    # checkerboard (half the pixels per frame, pipeline.checker_*),
-    # "4" = 4-phase quarter interleave (pipeline.quarter_*, the
-    # DLSS-Ultra-Performance-class rate; quality measured in
-    # probe_checker_motion --mode quarter), "0" = every pixel.
-    # Requires the upscaler in the loop.
-    rate_mode = os.environ.get("BENCH_CHECKER", "1")
+    # rate-cut primaries under the temporal accumulator: "adaptive"
+    # (default) = the motion-adaptive scheduler (render/scheduler.py, the
+    # DLSS mode-selection analogue main.cpp:529-543) picks checkerboard
+    # under fast camera motion and 4-phase quarter rate when slow/static,
+    # per frame, from host-side pose deltas; "1"/"2" = checkerboard
+    # always (half the pixels per frame, pipeline.checker_*), "4" =
+    # quarter always (pipeline.quarter_*, the DLSS-Ultra-Performance-
+    # class rate), "0" = every pixel.  Quality ladder measured in
+    # probe_checker_motion (--mode all --script mixed).  Rate cuts
+    # require the upscaler in the loop.
+    rate_mode = os.environ.get("BENCH_CHECKER", "adaptive")
+    adaptive = rate_mode == "adaptive" and up_mode == "temporal"
     checker = rate_mode in ("1", "2") and up_mode == "temporal"
     quarter = rate_mode == "4" and up_mode == "temporal"
+    # camera path: "interactive" (default with the adaptive scheduler) =
+    # a documented interactive motion profile in thirds - fast pan /
+    # slow look / near-static dwell; "pan" = the round-2..4 constant
+    # fast pan (0.35 rad/frame).  With a fixed-rate tier the constant
+    # pan remains the default for cross-round comparability.
+    cam_path = os.environ.get("BENCH_PATH",
+                              "interactive" if adaptive else "pan")
+    # config-4 (native 1080p) rate tier: "adaptive" (default) = the same
+    # motion-adaptive checker/quarter dispatch with the accumulator run
+    # at SCALE 1 as native-res temporal reconstruction (TAA + hole fill,
+    # upscale/temporal.py init_state(scale=1) - the tuning VERDICT r4 #3
+    # asked for); "0" = the round-2..4 pure full-rate native semantics.
+    config4_rate = os.environ.get("BENCH_CONFIG4_RATE", "adaptive")
+    if up_mode != "temporal":
+        config4_rate = "0"
     # slim carry measured cost-NEUTRAL on-chip (probe_r7: 302 -> 301 ms
     # primary) - the superstep is not carry-HBM-bound; default off to
     # keep the incremental reference arithmetic
@@ -220,8 +240,7 @@ def main():
     cam_y = min(top + 12.0, ecfg.world.size_y - 2.0)
     log(f"terrain top at center: {top}, camera y: {cam_y}")
 
-    def pan_cam(i):
-        ang = 0.35 * i
+    def cam_at(ang):
         fwd = np.array([math.cos(ang) * 0.87, -0.5, math.sin(ang) * 0.87],
                        np.float32)
         fwd /= np.linalg.norm(fwd)
@@ -232,6 +251,35 @@ def main():
         return Camera(pos=np.array([cx, cam_y, cz], np.float32),
                       forward=fwd, right=right.astype(np.float32),
                       up=(up / np.linalg.norm(up)).astype(np.float32))
+
+    def path_cams(frames):
+        """Camera poses for ``frames`` timed frames + 2 warmup frames.
+
+        ``pan``: the round-2..4 constant fast pan, ang = 0.35*i (kept
+        bit-identical for cross-round comparability).
+
+        ``interactive``: a documented interactive-session profile in
+        equal thirds of the TIMED window - fast pan (0.05 rad/frame,
+        ~3.4% of screen width: a flick/turn), slow look-around
+        (0.004 rad/frame, ~0.27%), near-static dwell (0.0005 rad/frame).
+        The 2 warmup frames pan fast so the adaptive scheduler enters
+        the timed window in the same tier the first leg uses."""
+        cams = []
+        yaw = 0.0
+        third = max(frames // 3, 1)
+        for i in range(frames + 2):
+            if cam_path == "pan":
+                yaw = 0.35 * i
+            elif i > 0:
+                j = i - 2  # timed-window index (warmups are j<0)
+                if j < third:
+                    yaw += 0.05
+                elif j < 2 * third:
+                    yaw += 0.004
+                else:
+                    yaw += 0.0005
+            cams.append(cam_at(yaw))
+        return cams
 
     up_net = up_params = None
     res_net = res_params = None
@@ -271,19 +319,39 @@ def main():
         log("upscaler: temporal super-resolution accumulator")
 
     def build_ops(ec):
-        """(base, post, gi_step) jits for one operating point."""
-        ck = checker and ec.render.width == width
-        qk = quarter and ec.render.width == width
+        """Per-rate (base, post) jit dicts + gi jit for one operating point.
 
-        def _base(b, s, g, a, cam, sky, tbl, par):
-            return pipeline.render_frame(b, s, g, a, cam, ec,
-                                         include_gi=False, sky_y=sky,
-                                         table=tbl,
-                                         return_gbuffer=include_gi,
-                                         checker_parity=par if ck else None,
-                                         quarter_phase=par if qk else None)
+        Every rate tier is its own compiled graph (the buffer shapes
+        differ); the adaptive scheduler dispatches between them per
+        frame.  Rates this point never uses are never compiled (the
+        dicts are lazy via functools.partial + jax.jit's call-site
+        compilation)."""
+        is_headline = ec.render.width == width
+        rate_tag = ((("adaptive" if adaptive else rate_mode)
+                     if (adaptive or checker or quarter) else "0")
+                    if is_headline else config4_rate)
+        if rate_tag == "adaptive":
+            point_rates = ("full", "checker", "quarter")
+        elif rate_tag in ("1", "2"):
+            point_rates = ("checker",)
+        elif rate_tag == "4":
+            point_rates = ("quarter",)
+        else:
+            point_rates = ("full",)
+        # temporal reconstruction scale: 3x display upscale at the
+        # headline point, 1x (native TAA + rate-cut hole fill) elsewhere
+        up_scale = 3 if is_headline else 1
+        use_temporal = (upscale and up_mode == "temporal"
+                        and (is_headline or point_rates != ("full",)))
 
-        def _post(out, gb, g, s, cam, hist, par, addend, reuse=False):
+        def _base(b, s, g, a, cam, sky, tbl, par, rate):
+            return pipeline.render_frame(
+                b, s, g, a, cam, ec, include_gi=False, sky_y=sky,
+                table=tbl, return_gbuffer=include_gi,
+                checker_parity=par if rate == "checker" else None,
+                quarter_phase=par if rate == "quarter" else None)
+
+        def _post(out, gb, g, s, cam, hist, par, addend, rate, reuse):
             """-> (frame outputs, next upscaler state, composite addend).
 
             ``reuse=True``: skip the cone-march composite and re-add the
@@ -295,32 +363,37 @@ def main():
             The addend is kept at FULL resolution when the knob is active:
             under checker/quarter interleave the same half-buffer index
             maps to a different world pixel each frame (opposite parity /
-            next phase), so reusing raw half-buffer addends would
-            misalign the indirect light by one pixel on top of the
-            one-frame staleness probe_checker_motion measured.  Expand on
-            compute, re-select at the CURRENT parity/phase on reuse."""
+            next phase) - and under the adaptive scheduler the buffer
+            SHAPE changes with the tier - so the full-res addend is the
+            only carry whose shape and meaning are frame-invariant.
+            Expand on compute, re-select at the CURRENT rate/phase on
+            reuse.  With comp_cadence == 1 the reuse path is dead and a
+            (1,1,3) placeholder is carried instead (a real per-rate
+            addend would recompile every post graph per predecessor
+            shape)."""
             if include_gi:
                 if reuse:
                     add = addend
-                    if ck:
+                    if rate == "checker":
                         add = pipeline.checker_select(add, par)
-                    elif qk:
+                    elif rate == "quarter":
                         add = pipeline.quarter_select(add, par)
                     out = out._replace(color=jnp.clip(
                         out.color + add, 0.0, 1.0))
-                else:
+                elif comp_cadence > 1:
                     col, addend = pipeline.gi_composite(
                         out.color, gb, g, s, ec, return_addend=True)
                     out = out._replace(color=col)
-                    if comp_cadence > 1:
-                        # full-res addend only when the reuse knob is live
-                        # (the expand is wasted HBM traffic otherwise)
-                        if ck:
-                            addend = pipeline.checker_expand(addend, par)
-                        elif qk:
-                            addend = pipeline.quarter_expand(addend, par)
+                    # full-res addend (see docstring)
+                    if rate == "checker":
+                        addend = pipeline.checker_expand(addend, par)
+                    elif rate == "quarter":
+                        addend = pipeline.quarter_expand(addend, par)
+                else:
+                    col = pipeline.gi_composite(out.color, gb, g, s, ec)
+                    out = out._replace(color=col)
             valid = None
-            if ck:
+            if rate == "checker":
                 # expand the half-width checkerboard buffers to the full
                 # frame; untraced pixels are neighbor-filled and enter the
                 # accumulator at 5% weight (history dominates)
@@ -330,23 +403,23 @@ def main():
                                    depth=ex(out.depth))
                 valid = pipeline.checker_valid_mask(ec.render.height,
                                                     ec.render.width, par)
-            elif qk:
+            elif rate == "quarter":
                 ex = lambda a: pipeline.quarter_expand(a, par)  # noqa: E731
                 out = out._replace(color=ex(out.color),
                                    motion=ex(out.motion),
                                    depth=ex(out.depth))
                 valid = pipeline.quarter_valid_mask(ec.render.height,
                                                     ec.render.width, par)
-            if upscale and ec.render.width == width:
-                if up_mode == "net":
-                    hi, _ = up_model.upscale(up_net, up_params, out.color,
-                                             out.motion, out.depth,
-                                             cam.jitter, hist)
-                    return out._replace(color=hi), hi, addend
+            if upscale and up_mode == "net" and ec.render.width == width:
+                hi, _ = up_model.upscale(up_net, up_params, out.color,
+                                         out.motion, out.depth,
+                                         cam.jitter, hist)
+                return out._replace(color=hi), hi, addend
+            if use_temporal:
                 hi, nstate = up_temporal.temporal_upscale(
                     out.color, out.motion, out.depth, cam.jitter, hist,
                     valid=valid, warp_taps=warp_taps)
-                if res_params is not None:
+                if res_params is not None and ec.render.width == width:
                     hi = res_net.apply(res_params, out.color, out.motion,
                                        out.depth, cam.jitter, hi,
                                        nstate.conf)
@@ -359,22 +432,26 @@ def main():
 
         import functools as _ft
 
-        post_c = jax.jit(_ft.partial(_post, reuse=False))
-        post_r = jax.jit(_ft.partial(_post, reuse=True))
-        return jax.jit(_base), (post_c, post_r), jax.jit(_gi), (ck, qk)
+        base_j = {r: jax.jit(_ft.partial(_base, rate=r))
+                  for r in point_rates}
+        post_j = {r: (jax.jit(_ft.partial(_post, rate=r, reuse=False)),
+                      jax.jit(_ft.partial(_post, rate=r, reuse=True)))
+                  for r in point_rates}
+        return base_j, post_j, jax.jit(_gi), point_rates, (use_temporal,
+                                                           up_scale)
 
     def run_point(ec, label, frames):
         """Measure one operating point; returns (fps, stats dict)."""
-        base_j, (post_c, post_r), gi_j, (ck, qk) = build_ops(ec)
+        base_j, post_j, gi_j, point_rates, (use_temporal, up_scale) = (
+            build_ops(ec))
         from rvgrt_tpu.upscale import model as up_model_l
-        if upscale and ec.render.width == width:
-            if up_mode == "net":
-                hist0 = jnp.zeros((ec.render.height * up_model_l.SCALE,
-                                   ec.render.width * up_model_l.SCALE, 3),
-                                  jnp.float32)
-            else:
-                hist0 = up_temporal.init_state(ec.render.height,
-                                               ec.render.width)
+        if upscale and up_mode == "net" and ec.render.width == width:
+            hist0 = jnp.zeros((ec.render.height * up_model_l.SCALE,
+                               ec.render.width * up_model_l.SCALE, 3),
+                              jnp.float32)
+        elif use_temporal:
+            hist0 = up_temporal.init_state(ec.render.height,
+                                           ec.render.width, scale=up_scale)
         else:
             hist0 = jnp.zeros((1, 1, 3), jnp.float32)
 
@@ -395,8 +472,25 @@ def main():
             return (float(jx) * 2.0 / ec.render.width,
                     float(jy) * 2.0 / ec.render.height)
 
-        cams = [eng_mod.camera_arrays(pan_cam(i), jitter=jit_ndc(i))
+        raw_cams = path_cams(frames)
+        cams = [eng_mod.camera_arrays(raw_cams[i], jitter=jit_ndc(i))
                 for i in range(frames + 2)]
+
+        # per-frame rate schedule.  With the adaptive tier the scheduler
+        # runs host-side over consecutive poses (the whole path is known,
+        # but the scheduler only ever looks one frame back - the same
+        # information an interactive session has); fixed tiers repeat.
+        if len(point_rates) > 1:
+            from rvgrt_tpu.render.scheduler import AdaptiveRateScheduler
+
+            sched = AdaptiveRateScheduler(ec.render.width,
+                                          ec.render.height,
+                                          ec.render.fov_degrees)
+            rate_seq = ["checker"]
+            for i in range(1, frames + 2):
+                rate_seq.append(sched.step(raw_cams[i - 1], raw_cams[i]))
+        else:
+            rate_seq = [point_rates[0]] * (frames + 2)
 
         # pre-stage every per-frame host scalar on device: a fresh
         # jnp.uint32/int32 per frame is a host->device transfer through
@@ -413,16 +507,20 @@ def main():
 
         if comp_cadence > 1:
             # reuse is live: the addend is carried at FULL resolution
-            # (see _post) so parity/phase changes re-select correctly
+            # (see _post) so rate/parity/phase changes re-select correctly
             addend0 = jnp.zeros((ec.render.height, ec.render.width, 3),
                                 jnp.float32)
         else:
-            cw = (ec.render.width // 2) if (ck or qk) else ec.render.width
-            chh = (ec.render.height // 2) if qk else ec.render.height
-            addend0 = jnp.zeros((chh, cw, 3), jnp.float32)
+            # reuse path dead: carry a fixed placeholder (shape-invariant
+            # across rate tiers - see the _post docstring)
+            addend0 = jnp.zeros((1, 1, 3), jnp.float32)
 
-        def frame(i, cam, gi, offset, hist, acc, addend):
-            par = par_dev[i & (3 if qk else 1)]
+        def frame(i, cam, gi, offset, hist, acc, addend, rate=None):
+            rate = rate_seq[i] if rate is None else rate
+            # quarter phases visit the 2x2 quad diagonally so consecutive
+            # frames form a checkerboard (pipeline.QUARTER_PHASE_ORDER)
+            par = par_dev[pipeline.QUARTER_PHASE_ORDER[i & 3]
+                          if rate == "quarter" else (i & 1)]
             # GI cadence: run the progressive window every Nth frame (the
             # reference's contract is the ~512-frame full-grid sweep
             # PERIOD, not the per-frame call; cadence 2 doubles the sweep
@@ -431,13 +529,12 @@ def main():
                 gi = gi_j(gi, world.bits, world.sdf, world.atlas,
                           fr0, off_dev[offset],
                           world.sky_y, world.trace_table)
-            r = base_j(world.bits, world.sdf, gi, world.atlas, cam,
-                       world.sky_y, world.trace_table, par)
+            r = base_j[rate](world.bits, world.sdf, gi, world.atlas, cam,
+                             world.sky_y, world.trace_table, par)
             out, gb = r if include_gi else (r, None)
-            post_j = post_r if (include_gi
-                                and i % comp_cadence != 0) else post_c
-            out, nhist, addend = post_j(out, gb, gi, world.sdf, cam, hist,
-                                        par, addend)
+            reuse = include_gi and i % comp_cadence != 0
+            out, nhist, addend = post_j[rate][1 if reuse else 0](
+                out, gb, gi, world.sdf, cam, hist, par, addend)
             # tiny reduction chains every frame into one final readback
             acc = acc + jnp.sum(out.depth)
             return out, gi, nhist, acc, addend
@@ -464,6 +561,26 @@ def main():
         hit_frac = float(jnp.mean((wdepth != 1.0).astype(jnp.float32)))
         log(f"[{label}] warm frame {time.time() - t0:.1f}s; "
             f"hit_frac={hit_frac:.3f}")
+
+        # pre-compile every (rate, post-variant) graph the timed schedule
+        # will use that the two warmup frames didn't cover, so no compile
+        # lands inside the timed window (an adaptive tier switch mid-run
+        # would otherwise pay a full remote compile in measured time)
+        covered = {(rate_seq[i], include_gi and i % comp_cadence != 0)
+                   for i in range(2)}
+        for i in range(2, frames + 2):
+            key = (rate_seq[i], include_gi and i % comp_cadence != 0)
+            if key in covered:
+                continue
+            covered.add(key)
+            t0 = time.time()
+            # index picks the post variant: i % comp_cadence != 0 <=> reuse
+            i_warm = 1 if key[1] else comp_cadence
+            out, gi, hist, acc, addend = frame(i_warm, cams[1], gi, offset,
+                                               hist, acc, addend,
+                                               rate=key[0])
+            float(acc)
+            log(f"[{label}] extra warm {key}: {time.time() - t0:.1f}s")
 
         # timed: dispatch all frames back-to-back, sync once at the end
         t0 = time.time()
@@ -499,40 +616,58 @@ def main():
         # hardcoded w_//2 overcounted prepass rays 4x
         hw, hh = ec.render.half_width, ec.render.half_height
         q = ec.render.prepass_cascade
-        # post-rate primary grid: the buffers the frame actually traces
-        # (checker = half width, quarter = half width AND height)
-        gh = (h_ // 2) if qk else h_
-        gw = (w_ // 2) if (ck or qk) else w_
         ssd = ec.render.shadow_site_divisor
         shadow_decoupled = ec.lighting.soft_shadows and ssd > 0
-        rays = {
-            "primary": gh * gw,
-            "prepass_primary": hw * hh,
-            # shadow-ray population depends on the tier: DECOUPLED soft
-            # shadows (shadow_site_divisor > 0, the bench default) march
-            # one SDF ray per ssd-th site of the POST-rate primary grid
-            # and the prepass runs want_shadow=False (zero prepass shadow
-            # rays - render_slab's shadow_decoupled branch); coupled soft
-            # shadows march one per STRIDED prepass site; hard shadows
-            # trace one hybrid ray per prepass pixel
-            "prepass_shadow": (0 if shadow_decoupled else
-                               ((hw // ec.lighting.soft_shadow_stride)
-                                * (hh // ec.lighting.soft_shadow_stride)
-                                if ec.lighting.soft_shadows else hw * hh)),
-            "cascade": (hw // q) * (hh // q) if q > 1 else 0,
-        }
-        if shadow_decoupled:
-            # a[::ssd] keeps ceil(n/ssd) sites per axis
-            rays["shadow_sites"] = -(-gh // ssd) * -(-gw // ssd)
-        if include_gi:
-            # reference rate: 2 rays (sun + bounce) per updated GI cell
-            # (GlobalIlluminate, CoarseArray.cu:273-355), amortized over
-            # the update cadence
-            rays["gi_update"] = 2 * ec.gi_window // gi_cadence
-        total_rays = sum(rays.values())
+
+        def rays_for(rate, gi_frame):
+            # post-rate primary grid: the buffers the frame actually
+            # traces (checker = half width, quarter = half width AND
+            # height)
+            gh = (h_ // 2) if rate == "quarter" else h_
+            gw = (w_ // 2) if rate in ("checker", "quarter") else w_
+            r = {
+                "primary": gh * gw,
+                "prepass_primary": hw * hh,
+                # shadow-ray population depends on the tier: DECOUPLED
+                # soft shadows (shadow_site_divisor > 0, the bench
+                # default) march one SDF ray per ssd-th site of the
+                # POST-rate primary grid and the prepass runs
+                # want_shadow=False (zero prepass shadow rays -
+                # render_slab's shadow_decoupled branch); coupled soft
+                # shadows march one per STRIDED prepass site; hard
+                # shadows trace one hybrid ray per prepass pixel
+                "prepass_shadow": (0 if shadow_decoupled else
+                                   ((hw // ec.lighting.soft_shadow_stride)
+                                    * (hh // ec.lighting.soft_shadow_stride)
+                                    if ec.lighting.soft_shadows
+                                    else hw * hh)),
+                "cascade": (hw // q) * (hh // q) if q > 1 else 0,
+            }
+            if shadow_decoupled:
+                # a[::ssd] keeps ceil(n/ssd) sites per axis
+                r["shadow_sites"] = -(-gh // ssd) * -(-gw // ssd)
+            if gi_frame:
+                # reference rate: 2 rays (sun + bounce) per updated GI
+                # cell (GlobalIlluminate, CoarseArray.cu:273-355)
+                r["gi_update"] = 2 * ec.gi_window
+            return r
+
+        # sum per-frame counts over the timed window (the adaptive tier
+        # changes the primary/shadow-site population frame by frame)
+        rays_total: dict = {}
+        tier_mix: dict = {}
+        for i in range(2, frames + 2):
+            fr = rays_for(rate_seq[i],
+                          include_gi and i % gi_cadence == 0)
+            for k, v in fr.items():
+                rays_total[k] = rays_total.get(k, 0) + v
+            tier_mix[rate_seq[i]] = tier_mix.get(rate_seq[i], 0) + 1
+        rays = {k: round(v / frames, 1) for k, v in rays_total.items()}
+        total_rays = sum(rays_total.values()) / frames
         mrays = total_rays * fps / 1e6
         log(f"[{label}] {frames} frames in {dt:.2f}s -> {fps:.2f} FPS, "
-            f"{mrays:.1f} Mrays/s  rays/frame={rays}")
+            f"{mrays:.1f} Mrays/s  tier_mix={tier_mix}  "
+            f"mean rays/frame={rays}")
         # primary-only Mrays/s alongside the all-rays number: the
         # numerator above counts prepass + cascade + GI-update rays
         # (documented), which flatters ~1.4x vs primary-only
@@ -543,7 +678,9 @@ def main():
             "hit_frac": round(hit_frac, 4),
             "frames": frames,
             "straggler_overflow": overflow,
-            "rays_per_frame": rays,
+            "rays_per_frame_mean": rays,
+            "tier_mix": tier_mix,
+            "camera_path": cam_path,
         }
 
     fps, stats = run_point(ecfg, "headline", n_frames)
@@ -574,9 +711,12 @@ def main():
     op = (f"{width}x{height}+3x upscale to {3 * width}x{3 * height}"
           if upscale else f"{width}x{height}")
     sem_tag = ("TPU-tuned cadence"
-               if (fast_trace or soft or checker or slim
-                   or rcfg.prepass_divisor != 2)
+               if (fast_trace or soft or checker or quarter or adaptive
+                   or slim or rcfg.prepass_divisor != 2)
                else "reference-exact cadence")
+    if adaptive:
+        sem_tag = ("motion-adaptive primaries (checker/quarter, "
+                   f"{cam_path} path), " + sem_tag)
     if checker:
         sem_tag = "checkerboard primaries, " + sem_tag
     if quarter:

@@ -616,6 +616,17 @@ def checker_select(a: jnp.ndarray, parity, y0=0) -> jnp.ndarray:
     return jnp.where(off == 0, a[:, 0::2], a[:, 1::2])
 
 
+# Dispatch order for the 4-phase quarter interleave: visit the 2x2 quad
+# DIAGONALLY ((0,0), (1,1), (0,1), (1,0)) so any two consecutive frames
+# form a complete checkerboard and any four the full grid.  The raster
+# order (0,1,2,3) covers only one quad ROW after two frames, so the
+# accumulator's 2-frame coverage is anisotropic and static convergence
+# measurably slower (probe_checker_motion --script mixed).  Pure dispatch
+# policy - quarter_select/expand/valid are phase-value-based and order-
+# independent.
+QUARTER_PHASE_ORDER = (0, 3, 1, 2)
+
+
 def quarter_select(a: jnp.ndarray, phase) -> jnp.ndarray:
     """(H, W[, C]) -> (H/2, W/2[, C]): keep pixels with ``y & 1 ==
     phase >> 1`` and ``x & 1 == phase & 1`` - the quarter of the pixels a

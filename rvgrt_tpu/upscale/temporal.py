@@ -54,11 +54,17 @@ class TemporalState(NamedTuple):
 
 
 def init_state(height: int, width: int,
-               depth_reject: bool = False) -> TemporalState:
-    """Zero state for a ``height x width`` LOW-res stream."""
+               depth_reject: bool = False,
+               scale: int = SCALE) -> TemporalState:
+    """Zero state for a ``height x width`` LOW-res stream.
+
+    ``scale=1`` turns the accumulator into native-resolution temporal
+    reconstruction (TAA + checkerboard/quarter hole filling, no
+    super-resolution) - the native-1080p rate-cut tier's fill mechanism.
+    ``temporal_upscale`` infers the scale from the state shape."""
     return TemporalState(
-        history=jnp.zeros((height * SCALE, width * SCALE, 3), _F32),
-        conf=jnp.zeros((height * SCALE, width * SCALE), _F32),
+        history=jnp.zeros((height * scale, width * scale, 3), _F32),
+        conf=jnp.zeros((height * scale, width * scale), _F32),
         depth=(jnp.ones((height, width), _F32) if depth_reject
                else jnp.zeros((1, 1), _F32)))
 
@@ -75,19 +81,20 @@ def _shift_cf(img_cf: jnp.ndarray, m: int, axis: int) -> jnp.ndarray:
     return jax.lax.slice_in_dim(padded, start, start + n, axis=axis)
 
 
-def _phase_filter_axis(img_cf: jnp.ndarray, j_px: jnp.ndarray, axis: int):
+def _phase_filter_axis(img_cf: jnp.ndarray, j_px: jnp.ndarray, axis: int,
+                       scale: int = SCALE):
     """Per-phase jitter-compensating linear resample along one axis.
 
-    Display position ``SCALE*i + p`` reads the low-res signal at
-    ``i + p/SCALE - j_px``; with ``o_p = p/SCALE - j_px`` in (-1, 2) the
+    Display position ``scale*i + p`` reads the low-res signal at
+    ``i + p/scale - j_px``; with ``o_p = p/scale - j_px`` in (-1, 2) the
     linear interpolation is ``sum_m hat(o_p - m) * img[i + m]`` over the
     static shifts m in {-1, 0, 1, 2} - branch-free in the traced ``j_px``.
-    Returns SCALE arrays shaped like ``img_cf``.
+    Returns ``scale`` arrays shaped like ``img_cf``.
     """
     shifted = [_shift_cf(img_cf, m, axis) for m in (-1, 0, 1, 2)]
     outs = []
-    for p in range(SCALE):
-        o = _F32(p) / _F32(SCALE) - j_px
+    for p in range(scale):
+        o = _F32(p) / _F32(scale) - j_px
         acc = None
         for m, sh in zip((-1, 0, 1, 2), shifted):
             w = jnp.clip(1.0 - jnp.abs(o - _F32(m)), 0.0, 1.0)
@@ -97,28 +104,30 @@ def _phase_filter_axis(img_cf: jnp.ndarray, j_px: jnp.ndarray, axis: int):
     return outs
 
 
-def jitter_upsample(color: jnp.ndarray, jitter_ndc: jnp.ndarray):
-    """(h, w, 3) low-res + its NDC jitter -> (3, SCALE*h, SCALE*w)
+def jitter_upsample(color: jnp.ndarray, jitter_ndc: jnp.ndarray,
+                    scale: int = SCALE):
+    """(h, w, 3) low-res + its NDC jitter -> (3, scale*h, scale*w)
     channel-first display-res image, resampled so the KNOWN sub-pixel
-    sample positions line up with the unjittered display grid."""
+    sample positions line up with the unjittered display grid.  At
+    ``scale=1`` this is the TAA jitter-compensating resample."""
     h, w = color.shape[0], color.shape[1]
     jx = jitter_ndc[0] * _F32(0.5 * w)   # low-res px
     jy = jitter_ndc[1] * _F32(0.5 * h)
     cf = color.transpose(2, 0, 1)  # (3, h, w)
-    # x axis: SCALE phase images (3, h, w) -> interleave -> (3, h, SCALE*w)
-    xs = _phase_filter_axis(cf, jx, axis=2)
-    row = up_model._interleave_last(xs, SCALE)
+    # x axis: scale phase images (3, h, w) -> interleave -> (3, h, scale*w)
+    xs = _phase_filter_axis(cf, jx, axis=2, scale=scale)
+    row = up_model._interleave_last(xs, scale)
     # y axis on the transposed image
-    rowT = row.transpose(0, 2, 1)  # (3, SCALE*w, h)
-    ys = _phase_filter_axis(rowT, jy, axis=2)
-    colT = up_model._interleave_last(ys, SCALE)  # (3, SCALE*w, SCALE*h)
+    rowT = row.transpose(0, 2, 1)  # (3, scale*w, h)
+    ys = _phase_filter_axis(rowT, jy, axis=2, scale=scale)
+    colT = up_model._interleave_last(ys, scale)  # (3, scale*w, scale*h)
     return colT.transpose(0, 2, 1)
 
 
-def _neighborhood_box(color: jnp.ndarray, gamma):
+def _neighborhood_box(color: jnp.ndarray, gamma, scale: int = SCALE):
     """Variance-clipping rectification box: mean +- gamma*std over the 3x3
     low-res neighborhood, nearest-upsampled to display res, channel-first
-    (3, SCALE*h, SCALE*w).  Variance clipping decays stale history (ghosts)
+    (3, scale*h, scale*w).  Variance clipping decays stale history (ghosts)
     geometrically where a min/max box lets mid-range ghosts persist, while
     still admitting sub-pixel detail within the local contrast.  ``gamma``
     may be a scalar or a per-low-res-pixel (h, w) map (motion-adaptive
@@ -139,10 +148,12 @@ def _neighborhood_box(color: jnp.ndarray, gamma):
         g = g[None]  # broadcast over channels
     mn = mu - g * sd
     mx = mu + g * sd
+    if scale == 1:
+        return mn, mx
     def up(a):
-        a = jnp.repeat(a, SCALE, axis=2)            # (3, h, SCALE*w)
-        a = jnp.repeat(a.transpose(0, 2, 1), SCALE, axis=2)
-        return a.transpose(0, 2, 1)                 # (3, SCALE*h, SCALE*w)
+        a = jnp.repeat(a, scale, axis=2)            # (3, h, scale*w)
+        a = jnp.repeat(a.transpose(0, 2, 1), scale, axis=2)
+        return a.transpose(0, 2, 1)                 # (3, scale*h, scale*w)
     return up(mn), up(mx)
 
 
@@ -292,29 +303,29 @@ def _warp_state(state: TemporalState, motion_lowres: jnp.ndarray,
 
 
 def _current_weight(jitter_ndc: jnp.ndarray, height: int, width: int,
-                    sigma: float, w_min: float):
+                    sigma: float, w_min: float, scale: int = SCALE):
     """Per-display-pixel weight of the CURRENT frame's sample: peaked at
     the display pixels the jittered low-res sample actually landed on.
 
-    The sample lattice sits at display coords ``SCALE*(i + j_px)``; for a
+    The sample lattice sits at display coords ``scale*(i + j_px)``; for a
     display pixel with phase p the nearest-sample distance along an axis
-    is ``min_m |SCALE*j_px + SCALE*m - p|`` - a per-phase scalar, so the
-    weight map is a (SCALE,) x (SCALE,) outer pattern tiled over the
+    is ``min_m |scale*j_px + scale*m - p|`` - a per-phase scalar, so the
+    weight map is a (scale,) x (scale,) outer pattern tiled over the
     image."""
     def axis_d(j_px):
-        s = _F32(SCALE) * j_px
-        p = jnp.arange(SCALE, dtype=_F32)
-        cands = jnp.stack([jnp.abs(s - p + _F32(SCALE) * m)
+        s = _F32(scale) * j_px
+        p = jnp.arange(scale, dtype=_F32)
+        cands = jnp.stack([jnp.abs(s - p + _F32(scale) * m)
                            for m in (-1, 0, 1)])
-        return jnp.min(cands, axis=0)  # (SCALE,)
+        return jnp.min(cands, axis=0)  # (scale,)
 
     dx = axis_d(jitter_ndc[0] * _F32(0.5 * width))
     dy = axis_d(jitter_ndc[1] * _F32(0.5 * height))
-    d2 = dy[:, None] ** 2 + dx[None, :] ** 2          # (SCALE, SCALE)
+    d2 = dy[:, None] ** 2 + dx[None, :] ** 2          # (scale, scale)
     w = jnp.exp(-d2 / _F32(2.0 * sigma * sigma))
     w = _F32(w_min) + _F32(1.0 - w_min) * w
-    wx = jnp.tile(w, (1, width))[:, :SCALE * width]    # (SCALE, SCALE*w)
-    full = jnp.tile(wx, (height, 1))[:SCALE * height]  # (SCALE*h, SCALE*w)
+    wx = jnp.tile(w, (1, width))[:, :scale * width]    # (scale, scale*w)
+    full = jnp.tile(wx, (height, 1))[:scale * height]  # (scale*h, scale*w)
     return full
 
 
@@ -501,8 +512,12 @@ def temporal_upscale(color: jnp.ndarray, motion: jnp.ndarray,
     variance clamp thinks.
     """
     h, w = color.shape[0], color.shape[1]
+    # scale inferred from the carried state: 3 = the flagship display
+    # upscale, 1 = native-res temporal reconstruction (rate-cut fill)
+    scale = state.history.shape[0] // h
+    assert state.history.shape[0] == scale * h, (state.history.shape, h)
 
-    cur = jitter_upsample(color, jitter_ndc)            # (3, H, W)
+    cur = jitter_upsample(color, jitter_ndc, scale=scale)  # (3, H, W)
     hist, n_prev = _warp_state(state, motion, taps=warp_taps,
                                motion_decay=motion_decay)
 
@@ -526,7 +541,7 @@ def temporal_upscale(color: jnp.ndarray, motion: jnp.ndarray,
         occl = inside & (jnp.abs(lw - lc)
                          > _F32(depth_tau) * jnp.maximum(lw, lc))
         keep = jnp.where(occl, _F32(depth_conf), _F32(1.0))
-        keep = jnp.repeat(jnp.repeat(keep, SCALE, axis=0), SCALE, axis=1)
+        keep = jnp.repeat(jnp.repeat(keep, scale, axis=0), scale, axis=1)
         n_prev = n_prev * keep
 
     # motion-adaptive rectification: a STILL region's history is its best
@@ -538,8 +553,8 @@ def temporal_upscale(color: jnp.ndarray, motion: jnp.ndarray,
     # no global setting wins both, the motion blend takes both.
     # Explicit scalar gamma/clamp_beta override the adaptive blend.
     if gamma is None or clamp_beta is None:
-        mpx = jnp.sqrt((motion[..., 0] * _F32(0.5 * w * SCALE)) ** 2
-                       + (motion[..., 1] * _F32(0.5 * h * SCALE)) ** 2)
+        mpx = jnp.sqrt((motion[..., 0] * _F32(0.5 * w * scale)) ** 2
+                       + (motion[..., 1] * _F32(0.5 * h * scale)) ** 2)
         # dilate by a 3x3 max: miss/sky pixels carry ZERO motion vectors,
         # but at terrain-sky silhouettes the CONTENT still moves (the edge
         # sweeps across them) - without dilation those pixels read as
@@ -559,20 +574,32 @@ def temporal_upscale(color: jnp.ndarray, motion: jnp.ndarray,
     if clamp_beta is None:
         beta_lo = jnp.repeat(jnp.repeat(
             _F32(beta_static) + _F32(beta_moving - beta_static) * a,
-            SCALE, axis=0), SCALE, axis=1)
+            scale, axis=0), scale, axis=1)
         clamp_beta = beta_lo
 
-    mn, mx = _neighborhood_box(color, gamma)
+    v3 = None
+    if valid is not None:
+        v3 = (valid.astype(_F32) if scale == 1 else
+              jnp.repeat(jnp.repeat(valid.astype(_F32), scale, axis=0),
+                         scale, axis=1))
+
+    mn, mx = _neighborhood_box(color, gamma, scale=scale)
     clamped = jnp.clip(hist, mn - _F32(clamp_eps), mx + _F32(clamp_eps))
+    if v3 is not None:
+        # rate-cut frames: an UNTRACED pixel carries no fresh evidence -
+        # its neighborhood box is built from neighbor-filled copies, and
+        # clamping history to it pins converged detail to the fill value
+        # (measured: quarter-rate static convergence plateaus ~26 dB with
+        # the clamp, converges without).  Keep history as-is there; the
+        # pixel is re-traced (and properly rectified) within 2-4 frames.
+        clamped = v3[None] * clamped + (1.0 - v3[None]) * hist
     # history that needed clamping is stale (disocclusion/lighting change):
     # scale its effective sample count down smoothly
     clamp_dist = jnp.mean(jnp.abs(hist - clamped), axis=0)
     n_w = n_prev * jnp.exp(-clamp_dist * jnp.asarray(clamp_beta, _F32))
 
-    w_cur = _current_weight(jitter_ndc, h, w, sigma, w_min)
-    if valid is not None:
-        v3 = jnp.repeat(jnp.repeat(valid.astype(_F32), SCALE, axis=0),
-                        SCALE, axis=1)
+    w_cur = _current_weight(jitter_ndc, h, w, sigma, w_min, scale=scale)
+    if v3 is not None:
         w_cur = w_cur * (v3 + (1.0 - v3) * _F32(invalid_weight))
     den = n_w + w_cur
     out_cf = (n_w[None] * clamped + w_cur[None] * cur) / den[None]

@@ -90,6 +90,7 @@ def _gate_frame(single, shard):
         assert ok.mean() > 0.99, (name, ok.mean())
 
 
+@pytest.mark.full
 def test_render_frame_multislice_matches_single_device(world64, mesh2x4):
     cfg, bits, sdf, atlas = world64
     ecfg = EngineConfig(world=cfg,
@@ -108,6 +109,7 @@ def test_render_frame_multislice_matches_single_device(world64, mesh2x4):
 
 
 @pytest.mark.slow
+@pytest.mark.full
 def test_render_frame_multislice_volume_matches_single_device(world64,
                                                               mesh2x4):
     cfg, bits, sdf, atlas = world64
@@ -164,6 +166,7 @@ def test_temporal_upscale_multislice_matches_single_device():
                 == np.asarray(temporal.pack_state(state))).all()
 
 
+@pytest.mark.full
 def test_update_gi_multislice_matches_single_device(world64, mesh2x4):
     cfg, bits, sdf, atlas = world64
     ecfg = EngineConfig(world=cfg, gi_rays_per_frame=1024)

@@ -119,6 +119,7 @@ def test_sky_motion_is_point_at_infinity(engine):
     assert np.abs(mv[sky]).max() < 1e-5
 
 
+@pytest.mark.full
 def test_fast_trace_cadence_image_gate():
     """The bench/stage-5 tracer cadence (6 DDA substeps, SDF probe every
     16 steps, 4-voxel start bias - PERF.md cadence sweep) must stay a
@@ -206,6 +207,7 @@ def test_render_deterministic(engine):
     assert np.asarray(out1.color).shape == np.asarray(out2.color).shape
 
 
+@pytest.mark.full
 def test_split_gi_dispatch_matches_fused(engine):
     """The three-jit split GI frame must equal the fused include_gi=True
     render to float addition-order (same math, distributed over the fog
@@ -300,11 +302,13 @@ def _golden_image_compare(width: int, height: int,
 
 
 @pytest.mark.slow
+@pytest.mark.full
 def test_image_golden_vs_scalar_renderer():
     _golden_image_compare(64, 48)
 
 
 @pytest.mark.slow
+@pytest.mark.full
 def test_image_golden_soft_shadows():
     """Same gate with the SDF-penumbra shadows on (config-4 mode)."""
     _golden_image_compare(48, 32, soft_shadows=True)
@@ -374,6 +378,7 @@ def test_soft_shadow_march_matches_scalar_model(engine):
     assert hit.any()
 
 
+@pytest.mark.full
 def test_soft_shadow_prepass_runs_and_bounds(engine):
     """Prepass with soft_shadows on: factors live in
     [shadow_factor, 1] and open-sky hits facing the sun are lit."""
@@ -454,6 +459,7 @@ def test_max_cone_steps_documented_value():
     assert cur > lcfg.gi_max_distance   # 15th: provably out
 
 
+@pytest.mark.full
 def test_checkerboard_traced_pixels_match_full(engine):
     """Checkerboard rendering (checker_parity) must reproduce the full
     render EXACTLY at every traced pixel, for both parities, with the
@@ -503,6 +509,7 @@ def test_checkerboard_traced_pixels_match_full(engine):
     assert not np.any(v0 & v1) and np.all(v0 | v1)
 
 
+@pytest.mark.full
 def test_checkerboard_static_camera_converges_to_full_rate():
     """Static-camera quality gate (VERDICT r2 #2): after a few alternating
     checkerboard frames through the temporal accumulator, the upscaled
@@ -561,6 +568,7 @@ def test_checkerboard_static_camera_converges_to_full_rate():
     assert psnr > 40.0, psnr
 
 
+@pytest.mark.full
 def test_quarter_prepass_matches_half(engine):
     """prepass_divisor=4 (quarter-res distance/shadow prepass, a TPU perf
     tier): conservative-start contract holds (hits match the reference
@@ -625,6 +633,7 @@ def test_quarter_prepass_matches_half(engine):
                                        ecfg.render.width // 4)
 
 
+@pytest.mark.full
 def test_decoupled_shadow_sites_match_coupled(engine):
     """shadow_site_divisor (round-4 perf tier: prepass d8 supplies only
     conservative starts, the SDF penumbra march runs from every 4th TRUE
@@ -677,6 +686,7 @@ def test_decoupled_shadow_sites_match_coupled(engine):
     assert bool(jnp.isfinite(ck.color).all())
 
 
+@pytest.mark.full
 def test_checkerboard_moving_camera_agreement():
     """Checkerboard-vs-full-rate agreement under a MOVING camera (VERDICT
     r3 #7), closed loop through the temporal accumulator.
@@ -741,6 +751,7 @@ def test_checkerboard_moving_camera_agreement():
     assert mean_p >= 30.0, (mean_p, psnrs)
 
 
+@pytest.mark.full
 def test_cone_stride_div16_image_gate():
     """gi_res_divisor=16 (the bench tier): the geometry-aware joint
     upsample holds the strided cone march within tolerance of the exact
@@ -782,6 +793,7 @@ def test_cone_stride_div16_image_gate():
     assert psnr >= 35.0, psnr
 
 
+@pytest.mark.full
 def test_quarter_traced_pixels_match_full(engine):
     """4-phase quarter-rate rendering (quarter_phase) must reproduce the
     full render EXACTLY at every traced pixel for all 4 phases, with the

@@ -53,6 +53,7 @@ def _camera(cfg):
                                 up=up.astype(np.float32)), time_s=0.0)
 
 
+@pytest.mark.full
 def test_render_frame_sharded_matches_single_device(world64):
     cfg, bits, sdf, atlas = world64
     ecfg = EngineConfig(world=cfg,
@@ -88,6 +89,7 @@ def test_render_frame_sharded_matches_single_device(world64):
         assert ok.mean() > 0.99, (name, ok.mean())
 
 
+@pytest.mark.full
 def test_sharded_decoupled_shadow_seam(world64):
     """Sharded decoupled soft-shadow sites (the bench tier's
     ``shadow_site_divisor > 0``) vs the full frame: site phase is globally
@@ -212,6 +214,7 @@ def test_temporal_upscale_sharded_true_taps_matches_full():
                           - db.astype(np.int32)).max() <= 2
 
 
+@pytest.mark.full
 def test_temporal_upscale_sharded_pallas_taps_matches_full():
     """Slab warp_taps='pallas' (the ACTUAL production mesh kernel, run in
     Pallas interpret mode on CPU) == full-frame temporal_upscale with the
@@ -249,6 +252,7 @@ def test_temporal_upscale_sharded_pallas_taps_matches_full():
         assert np.abs(a - b).max() <= 1.5 / 255, np.abs(a - b).max()
 
 
+@pytest.mark.full
 def test_update_gi_sharded_matches_single_device(world64):
     cfg, bits, sdf, atlas = world64
     # window + offset must respect the advance_offset contract (no wrap:

@@ -53,6 +53,7 @@ def test_checkpoint_rejects_mismatched_config(tmp_path, small_ecfg,
         checkpoint.load_world(p, bad)
 
 
+@pytest.mark.full
 def test_world_regeneration_deterministic(small_ecfg, small_world):
     # determinism IS the primary checkpoint (State.cpp:44-54 analogue)
     w2 = build_world(small_ecfg, verbose=False, init_gi=False)
@@ -62,6 +63,7 @@ def test_world_regeneration_deterministic(small_ecfg, small_world):
                                   np.asarray(w2.sdf))
 
 
+@pytest.mark.full
 def test_gi_update_window_and_determinism(small_ecfg, small_world):
     w = small_world
     gi0 = w.gi
@@ -92,6 +94,7 @@ def test_init_gi_chunked_matches_unchunked(small_ecfg, small_world):
     np.testing.assert_array_equal(np.asarray(full), np.asarray(chunked))
 
 
+@pytest.mark.full
 def test_init_gi_chunked_handles_non_multiple_tail(small_ecfg, small_world):
     """A chunk that does NOT divide gi_num_cells must still produce the
     exact full-grid init (the tail slice is padded + re-anchored, not
@@ -108,6 +111,7 @@ def test_init_gi_chunked_handles_non_multiple_tail(small_ecfg, small_world):
     np.testing.assert_array_equal(np.asarray(full), np.asarray(chunked))
 
 
+@pytest.mark.full
 def test_gi_update_stats_overflow_zero(small_ecfg, small_world):
     """update_gi(return_stats=True) reports the straggler-cap overflow
     count; at the production margin it must be 0 (and the grid must match
@@ -229,6 +233,7 @@ def test_viewer_serves_frames_and_inputs():
         srv.stop()
 
 
+@pytest.mark.full
 def test_gi_converges_to_stable_ema():
     """BASELINE config-4 measure: the progressive GI fixed-point iteration
     must contract - per-sweep mean radiance change decreases and late

@@ -174,3 +174,58 @@ def test_packed_state_roundtrip():
                                np.asarray(rgb), atol=1.0 / 255.0 + 1e-6)
     np.testing.assert_allclose(np.asarray(n2), np.asarray(n),
                                atol=12.0 / 255.0 + 1e-6)
+
+
+def test_scale1_jitter_upsample_identity_at_zero_jitter():
+    """scale=1 (native-res temporal reconstruction): with zero jitter the
+    resample is the identity - the TAA path must not blur a static
+    unjittered frame."""
+    g = jax.random.uniform(jax.random.PRNGKey(7), (12, 14, 3), F32)
+    out = temporal.jitter_upsample(g, jnp.zeros((2,), F32), scale=1)
+    np.testing.assert_allclose(np.asarray(out.transpose(1, 2, 0)),
+                               np.asarray(g), atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["checker", "quarter"])
+def test_scale1_rate_cut_fill_converges_static(mode):
+    """Native-res accumulator as the rate-cut hole filler (the tuned
+    config-4 tier): a static scene rendered at checker/quarter rate with
+    the untraced pixels set to GARBAGE must converge to the true image -
+    the validity mask + history must fully suppress the filled pixels
+    once every pixel has been visited."""
+    from rvgrt_tpu.render import pipeline
+
+    h, w = 16, 20
+    g = _smooth_truth(jax.random.PRNGKey(9), h, w)
+    motion = jnp.zeros((h, w, 2), F32)
+    depth = jnp.zeros((h, w), F32)
+    state = temporal.init_state(h, w, scale=1)
+    out = None
+    for t in range(10):
+        if mode == "checker":
+            # adversarial fill: untraced pixels carry GARBAGE - the
+            # validity mask + history must fully suppress it
+            par = jnp.int32(t & 1)
+            valid = pipeline.checker_valid_mask(h, w, par)
+            frame = jnp.where(valid[..., None], g, 0.5)
+        else:
+            # production fill (quarter_expand nearest fill): at quarter
+            # rate an untraced pixel's 3x3 variance-clamp box is 3/4
+            # untraced, so a garbage fill poisons the clamp - the real
+            # pipeline never feeds garbage, it feeds the quad's traced
+            # value (pipeline.quarter_expand docstring)
+            par = jnp.int32(pipeline.QUARTER_PHASE_ORDER[t & 3])
+            valid = pipeline.quarter_valid_mask(h, w, par)
+            frame = pipeline.quarter_expand(pipeline.quarter_select(g, par),
+                                            par)
+        out, state = temporal.temporal_upscale(
+            frame, motion, depth, jnp.zeros((2,), F32), state, valid=valid)
+    assert out.shape == (h, w, 3)
+    p = _psnr(out, g)
+    assert p > 32.0, p
+    # the garbage must not dominate anywhere.  The residual worst-pixel
+    # error comes from the variance-clamp box, which is computed over the
+    # RAW frame and is therefore garbage-contaminated here; production
+    # fills untraced pixels with the 4-neighbor average (checker_expand),
+    # so this is the adversarial bound, not the operating one.
+    assert float(jnp.abs(out - g).max()) < 0.2

@@ -70,6 +70,7 @@ def _hints(out_prev, cam, prev_cam, rcfg, **kw):
         out_prev.half_dist, cam, prev_cam, rcfg, **kw)
 
 
+@pytest.mark.full
 def test_self_projection_identity(world_and_cfg):
     """For an unchanged camera the hint warp must read each pixel's own
     previous value: hint == windowed_min(prev_t) - bias everywhere the
@@ -90,6 +91,7 @@ def test_self_projection_identity(world_and_cfg):
 
 
 @pytest.mark.parametrize("translate", [False, True])
+@pytest.mark.full
 def test_hinted_render_matches(world_and_cfg, translate):
     """Hinted frame == unhinted frame (hits exactly, color to high PSNR)
     under rotation and under rotation + translation."""
@@ -117,6 +119,7 @@ def test_hinted_render_matches(world_and_cfg, translate):
     assert (np.abs(d_ref - d_got) > 0.51).mean() <= 2e-3
 
 
+@pytest.mark.full
 def test_hints_are_conservative(world_and_cfg):
     """Every hinted start must not overshoot the true hit distance."""
     world, ecfg = world_and_cfg

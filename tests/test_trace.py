@@ -227,6 +227,7 @@ def test_far_extended_sdf_same_hits():
     assert np.asarray(r_ext.its).mean() <= np.asarray(r_base.its).mean()
 
 
+@pytest.mark.full
 def test_straggler_two_phase_matches_single_phase(small_world):
     """Two-phase straggler respite (RenderConfig.straggler_budget) must
     reproduce single-phase results: hit flags and normals exactly,

@@ -37,6 +37,7 @@ def _rays(n, seed, size):
     return o, d
 
 
+@pytest.mark.full
 def test_volume_trace_matches_single_device(world64):
     cfg, bits, sdf = world64
     rcfg = RenderConfig()
@@ -105,6 +106,7 @@ def test_volume_trace_crosses_many_slabs(world64):
 
 
 @pytest.mark.slow
+@pytest.mark.full
 def test_volume_sharded_full_frame_matches_single_device(world64):
     """The whole per-frame pipeline against the z-slab-sharded world must
     reproduce the single-device frame (handed-off rays restart stepping at
@@ -158,6 +160,7 @@ def test_volume_sharded_full_frame_matches_single_device(world64):
     assert np.isfinite(np.asarray(vol.depth)).all()
 
 
+@pytest.mark.full
 def test_volume_trace_bounded_handoff_matches_unbounded(world64):
     """handoff_cap with overflow-retry must reproduce the unbounded ring
     exactly: packets are bounded per round, overflow rays stay local and

@@ -14,6 +14,7 @@ runs on the real chip via scripts/probe_r11.py - recorded bit-exact with
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from rvgrt_tpu.ops import warp_kernels as wk
@@ -88,6 +89,7 @@ def test_window_origins_cover_sources():
     assert ly0.min() >= 0 and lx0.min() >= 0
 
 
+@pytest.mark.full
 def test_pallas_kernel_interpret_matches_oracle_slab_and_full():
     """The Pallas kernel itself (interpret mode on CPU) == the XLA oracle,
     at a full-frame shape AND at a row-slab shape (output grid derived

@@ -214,6 +214,7 @@ def test_build_occlusion_matches_blocked_reduction():
         np.testing.assert_array_equal(got >> 24, w.reshape(-1), err_msg=mode)
 
 
+@pytest.mark.full
 def test_gi_init_strided_matches_full():
     """Strided GI init (gi/update.init_gi_strided): exact at the traced
     lattice sites, near-identical globally (sunlit-ness is smooth), and a
