@@ -256,6 +256,18 @@ class RenderConfig:
     # tens of steps)
     max_supersteps: int = 2048
 
+    # Fused Pallas superstep (ops/superstep_kernel.py): run the tracer's
+    # per-superstep masked state machine (sphere march + SDF probe/jump +
+    # DDA substeps) as ONE Mosaic kernel with the whole tile state in
+    # VMEM; only the combined-table gather stays in XLA (the Mosaic
+    # dynamic-gather census, PERF.md round-3: arbitrary HBM gathers
+    # cannot lower).  Bit-exact vs the XLA body by construction (same
+    # jnp ops, gated in tests/test_trace.py).  Probe A/B:
+    # scripts/probe_r29_superstep.py; default per PERF.md round-5.
+    # Unsupported combinations (volume z_edges, slim_carry) fall back
+    # to the XLA body.
+    fused_superstep: bool = False
+
     # straggler respite (wavefront._trace_two_phase): > 0 = run every lane
     # for at most this many supersteps, then compact the unfinished rays
     # into dense tiles and finish them at full budget.  Tile retirement

@@ -174,6 +174,261 @@ def _pick_tile_count(n: int, target_size: int, min_size: int,
     return best
 
 
+def _superstep_pregather(cfg: WorldConfig, rcfg: RenderConfig, dirs, s,
+                         sky_y=None, z_edges=None):
+    """Superstep front half: retirement masks + THE gather's table index.
+
+    Pure jnp over the carried state ``s`` (px/py/pz, ix/iy/iz, flags) and
+    the per-lane direction invariants ``dirs`` = (dx, dy, dz, ddx, ddy,
+    ddz, stx, sty, stz).  Runs in the XLA superstep body, and is
+    *recomputed* inside the fused Pallas superstep kernel
+    (``ops/superstep_kernel.py``) from the same inputs - one source of
+    truth keeps the two paths bit-exact by construction.
+    """
+    dx, dy, dz = dirs[0], dirs[1], dirs[2]
+    size_x, size_y, size_z = cfg.size_x, cfg.size_y, cfg.size_z
+    probe_mask = rcfg.sdf_probe_interval - 1  # power of two
+    flags = s["flags"]
+    phase = _get(flags, _PH_SH, _PH_W)
+    dda_i = _get(flags, _DD_SH, _DD_W)
+    probed = (flags >> _PR_SH) & 1
+
+    in_sphere = phase == PHASE_SPHERE
+    if sky_y is not None:
+        # above every solid voxel and not descending -> can never hit
+        sky_out = in_sphere & (dy >= 0) & (s["py"] >= sky_y)
+        in_sphere &= ~sky_out
+        flags = jnp.where(sky_out,
+                          _set(flags, _PH_SH, _PH_W, PHASE_MISS), flags)
+    if z_edges is not None:
+        # interior slab face -> hand the ray to the z neighbor instead
+        # of missing; x/y (or edge-shard z) overflow stays a real miss
+        xy_in = ((s["px"] >= 0) & (s["py"] >= 0)
+                 & (s["px"] < size_x) & (s["py"] < size_y))
+        exit_lo = in_sphere & xy_in & (s["pz"] < 0) & ~z_edges[0]
+        exit_hi = in_sphere & xy_in & (s["pz"] >= size_z) & ~z_edges[1]
+        sp_exit = exit_lo | exit_hi
+        in_sphere &= ~sp_exit
+        flags = jnp.where(exit_lo, _set(flags, _PH_SH, _PH_W,
+                                        PHASE_EXIT_LO), flags)
+        flags = jnp.where(exit_hi, _set(flags, _PH_SH, _PH_W,
+                                        PHASE_EXIT_HI), flags)
+        # sphere exits carry their position directly (mask = NONE)
+        flags = jnp.where(sp_exit,
+                          _set(flags, _MK_SH, _MK_W, MASK_NONE), flags)
+    in_dda = phase == PHASE_DDA
+    # probe superstep: reference's (i & 7) == 7 SDF re-check (line 127)
+    probe_turn = in_dda & ((dda_i & probe_mask) == probe_mask) \
+        & (probed == 0)
+    action_turn = in_dda & ~probe_turn
+
+    # ---------- THE gather's index (one gather per superstep) ----------
+    bits_len = cfg.num_words
+    table_len = bits_len + cfg.sdf_num_cells // 4
+    sph_or_probe = in_sphere | probe_turn
+    qvx = jnp.where(in_sphere, jnp.floor(s["px"]).astype(_I32), s["ix"])
+    qvy = jnp.where(in_sphere, jnp.floor(s["py"]).astype(_I32), s["iy"])
+    qvz = jnp.where(in_sphere, jnp.floor(s["pz"]).astype(_I32), s["iz"])
+    widx_sdf, bytepos = _sdf_word_index(cfg, bits_len, qvx, qvy, qvz)
+    widx_bit, _ = _brick_word_index(cfg, s["ix"], s["iy"], s["iz"])
+    widx = jnp.where(sph_or_probe, widx_sdf, widx_bit)
+    return dict(flags=flags, in_sphere=in_sphere, probe_turn=probe_turn,
+                action_turn=action_turn, dda_i=dda_i,
+                widx=jnp.clip(widx, 0, table_len - 1),
+                bytepos=bytepos, widx_bit=widx_bit)
+
+
+def _superstep_update(cfg: WorldConfig, rcfg: RenderConfig, dirs, tm, s,
+                      pre, word, z_edges=None, carry_tm: bool = True):
+    """Superstep back half: the masked state machine over the gathered
+    ``word`` (sphere march / SDF probe+jump / DDA brick substeps).
+
+    Pure jnp; runs in the XLA superstep body AND inside the fused Pallas
+    kernel (``ops/superstep_kernel.py`` passes the tile state resident in
+    VMEM).  ``tm`` is (tmx, tmy, tmz) - carried (non-slim) or recomputed
+    (slim); ``carry_tm=False`` (slim) skips writing tm into the state.
+    Returns the next state dict (no ``step``; the caller advances it).
+    """
+    dx, dy, dz, ddx, ddy, ddz, stx, sty, stz = dirs
+    s_tmx, s_tmy, s_tmz = tm
+    size_x, size_y, size_z = cfg.size_x, cfg.size_y, cfg.size_z
+    probe_mask = rcfg.sdf_probe_interval - 1
+    big = _F32(1e10)
+    flags = pre["flags"]
+    in_sphere = pre["in_sphere"]
+    probe_turn = pre["probe_turn"]
+    action_turn = pre["action_turn"]
+    dda_i = pre["dda_i"]
+    widx_bit = pre["widx_bit"]
+    dist = ((word >> pre["bytepos"].astype(_U32)) & _U32(0xFF)).astype(_I32)
+
+    def enter_dda(sd, lanes, fl):
+        """SPHERE -> DDA for ``lanes``: floor pos, init tMax (lines 114-120)."""
+        fx = jnp.floor(sd["px"])
+        fy = jnp.floor(sd["py"])
+        fz = jnp.floor(sd["pz"])
+        sd["ix"] = jnp.where(lanes, fx.astype(_I32), sd["ix"])
+        sd["iy"] = jnp.where(lanes, fy.astype(_I32), sd["iy"])
+        sd["iz"] = jnp.where(lanes, fz.astype(_I32), sd["iz"])
+        if carry_tm:
+            ntmx = jnp.where(stx > 0, fx + 1.0 - sd["px"], sd["px"] - fx) * ddx
+            ntmy = jnp.where(sty > 0, fy + 1.0 - sd["py"], sd["py"] - fy) * ddy
+            ntmz = jnp.where(stz > 0, fz + 1.0 - sd["pz"], sd["pz"] - fz) * ddz
+            sd["tmx"] = jnp.where(lanes, ntmx, sd["tmx"])
+            sd["tmy"] = jnp.where(lanes, ntmy, sd["tmy"])
+            sd["tmz"] = jnp.where(lanes, ntmz, sd["tmz"])
+        nf = _set(fl, _PH_SH, _PH_W, PHASE_DDA)
+        nf = _set(nf, _MK_SH, _MK_W, MASK_NONE)
+        nf = _set(nf, _DD_SH, _DD_W, 0)
+        nf = nf & ~(1 << _PR_SH)
+        return jnp.where(lanes, nf, fl)
+
+    ns = dict(s)
+    nflags = flags
+
+    # ================= SPHERE phase =================
+    # (approximateCSDF, lines 65-83)
+    sphere_i = _get(flags, _SP_SH, _SP_W)
+    sp_oob = in_sphere & (
+        (s["px"] < 0) | (s["py"] < 0) | (s["pz"] < 0)
+        | (s["px"] >= size_x) | (s["py"] >= size_y) | (s["pz"] >= size_z))
+    sp_converged = in_sphere & ~sp_oob & (dist <= 1)
+    sp_march = in_sphere & ~sp_oob & ~sp_converged
+    sp_exhaust = sp_march & (sphere_i >= rcfg.max_sphere_steps - 1)
+
+    distf = dist.astype(_F32)
+    ns["px"] = jnp.where(sp_march, s["px"] + dx * distf, s["px"])
+    ns["py"] = jnp.where(sp_march, s["py"] + dy * distf, s["py"])
+    ns["pz"] = jnp.where(sp_march, s["pz"] + dz * distf, s["pz"])
+    nflags = jnp.where(sp_march,
+                       _set(nflags, _SP_SH, _SP_W, sphere_i + 1), nflags)
+    ns["px"] = jnp.where(sp_oob, OOB_POS, ns["px"])
+    ns["py"] = jnp.where(sp_oob, OOB_POS, ns["py"])
+    ns["pz"] = jnp.where(sp_oob, OOB_POS, ns["pz"])
+    to_dda = sp_oob | sp_converged | sp_exhaust
+    nflags = enter_dda(ns, to_dda, nflags)
+
+    # ================= DDA probe superstep =================
+    # (lines 127-141); no reference-iteration advance unless jumping
+    do_jump = probe_turn & (dist > rcfg.jump_min_dist)
+    no_jump = probe_turn & ~do_jump
+    cx = s["ix"].astype(_F32) + 0.5
+    cy = s["iy"].astype(_F32) + 0.5
+    cz = s["iz"].astype(_F32) + 0.5
+    t_proj = (cx - s["px"]) * dx + (cy - s["py"]) * dy \
+        + (cz - s["pz"]) * dz
+    jump_len = t_proj + dist.astype(_F32) * cfg.sdf_coarseness
+    major = _get(flags, _MJ_SH, _MJ_W)
+    new_major = major + 1
+    jump_miss = do_jump & (new_major >= rcfg.max_major_iterations)
+    jump_resphere = do_jump & ~jump_miss
+    ns["px"] = jnp.where(do_jump, s["px"] + jump_len * dx, ns["px"])
+    ns["py"] = jnp.where(do_jump, s["py"] + jump_len * dy, ns["py"])
+    ns["pz"] = jnp.where(do_jump, s["pz"] + jump_len * dz, ns["pz"])
+    nflags = jnp.where(do_jump, _set(nflags, _MJ_SH, _MJ_W, new_major),
+                       nflags)
+    nflags = jnp.where(jump_resphere,
+                       _set(_set(nflags, _PH_SH, _PH_W, PHASE_SPHERE),
+                            _SP_SH, _SP_W, 0), nflags)
+    nflags = jnp.where(jump_miss,
+                       _set(nflags, _PH_SH, _PH_W, PHASE_MISS), nflags)
+    # its: +1 for the DDA iteration that jumped (line 124), +1 more for
+    # the major-loop re-entry (line 107)
+    ns["its"] = jnp.where(jump_miss, s["its"] + 1, s["its"])
+    ns["its"] = jnp.where(jump_resphere, s["its"] + 2, ns["its"])
+    nflags = jnp.where(no_jump, nflags | (1 << _PR_SH), nflags)
+
+    # ================= DDA action superstep =================
+    # The gathered word is a 4x2x4 occupancy brick: up to dda_substeps
+    # reference loop iterations (lines 123-199) run against it on the
+    # VPU before the next gather.  A lane stops sub-stepping when it
+    # hits, goes OOB, exhausts the budget, reaches a probe boundary
+    # (i % 8 == 7, line 127), or leaves the brick.
+    l_ix, l_iy, l_iz = s["ix"], s["iy"], s["iz"]
+    l_tmx, l_tmy, l_tmz = s_tmx, s_tmy, s_tmz
+    l_mask = _get(flags, _MK_SH, _MK_W)
+    l_dda = dda_i
+    l_its = ns["its"]
+    false = action_turn & False
+    hit_acc, miss_acc, stepped = false, false, false
+    dda_exit_lo, dda_exit_hi = false, false
+    act = action_turn
+    for _k in range(max(rcfg.dda_substeps, 1)):
+        # loop-top its++ (line 124)
+        l_its = jnp.where(act, l_its + 1, l_its)
+        # bounds check (lines 144-147); in volume-sharded mode an
+        # interior z face is a handoff, not a miss
+        oob_k = act & ((l_ix < 0) | (l_iy < 0) | (l_iz < 0)
+                       | (l_ix >= size_x) | (l_iy >= size_y)
+                       | (l_iz >= size_z))
+        if z_edges is not None:
+            xy_in = ((l_ix >= 0) & (l_iy >= 0)
+                     & (l_ix < size_x) & (l_iy < size_y))
+            ex_lo = act & xy_in & (l_iz < 0) & ~z_edges[0]
+            ex_hi = act & xy_in & (l_iz >= size_z) & ~z_edges[1]
+            dda_exit_lo |= ex_lo
+            dda_exit_hi |= ex_hi
+            oob_k &= ~(ex_lo | ex_hi)
+            act &= ~(ex_lo | ex_hi)
+        miss_acc |= oob_k
+        act &= ~oob_k
+        # solid hit (lines 149-168): freeze; payload comes post-loop
+        _, bitpos_k = _brick_word_index(cfg, l_ix, l_iy, l_iz)
+        solid_k = ((word >> bitpos_k.astype(_U32)) & _U32(1)) != 0
+        hit_k = act & solid_k
+        hit_acc |= hit_k
+        act &= ~hit_k
+        # branchless axis step (lines 172-192)
+        step_x = act & (l_tmx < l_tmy) & (l_tmx < l_tmz)
+        step_y = act & ~step_x & (l_tmy < l_tmz)
+        step_z = act & ~step_x & ~step_y
+        l_tmx = jnp.where(step_x, l_tmx + ddx, l_tmx)
+        l_tmy = jnp.where(step_y, l_tmy + ddy, l_tmy)
+        l_tmz = jnp.where(step_z, l_tmz + ddz, l_tmz)
+        l_ix = jnp.where(step_x, l_ix + stx, l_ix)
+        l_iy = jnp.where(step_y, l_iy + sty, l_iy)
+        l_iz = jnp.where(step_z, l_iz + stz, l_iz)
+        l_mask = jnp.where(step_x, MASK_X,
+                           jnp.where(step_y, MASK_Y,
+                                     jnp.where(step_z, MASK_Z, l_mask)))
+        stepped |= act
+        l_dda = jnp.where(act, l_dda + 1, l_dda)
+        # budget exhausted without a jump -> miss (loop end, line 199)
+        bud = act & (l_dda >= rcfg.max_dda_steps)
+        miss_acc |= bud
+        act &= ~bud
+        if _k + 1 < rcfg.dda_substeps:
+            due = (l_dda & probe_mask) == probe_mask
+            nwi, _ = _brick_word_index(cfg, l_ix, l_iy, l_iz)
+            act &= ~due & (nwi == widx_bit)
+    ns["ix"] = jnp.where(action_turn, l_ix, ns["ix"])
+    ns["iy"] = jnp.where(action_turn, l_iy, ns["iy"])
+    ns["iz"] = jnp.where(action_turn, l_iz, ns["iz"])
+    if carry_tm:
+        ns["tmx"] = jnp.where(action_turn, l_tmx, ns["tmx"])
+        ns["tmy"] = jnp.where(action_turn, l_tmy, ns["tmy"])
+        ns["tmz"] = jnp.where(action_turn, l_tmz, ns["tmz"])
+    ns["its"] = l_its
+    nflags = jnp.where(action_turn,
+                       _set(_set(nflags, _MK_SH, _MK_W, l_mask),
+                            _DD_SH, _DD_W, l_dda), nflags)
+    nflags = jnp.where(stepped, nflags & ~(1 << _PR_SH), nflags)
+    nflags = jnp.where(hit_acc, _set(nflags, _PH_SH, _PH_W, PHASE_HIT),
+                       nflags)
+    nflags = jnp.where(miss_acc, _set(nflags, _PH_SH, _PH_W, PHASE_MISS),
+                       nflags)
+    if z_edges is not None:
+        nflags = jnp.where(dda_exit_lo,
+                           _set(nflags, _PH_SH, _PH_W, PHASE_EXIT_LO),
+                           nflags)
+        nflags = jnp.where(dda_exit_hi,
+                           _set(nflags, _PH_SH, _PH_W, PHASE_EXIT_HI),
+                           nflags)
+
+    ns["flags"] = nflags
+    return ns
+
+
 def trace(bits: jax.Array, sdf: jax.Array, cfg: WorldConfig,
           rcfg: RenderConfig,
           ox, oy, oz, dx, dy, dz, t_start,
@@ -429,28 +684,10 @@ def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
         tm = jnp.where(st_ > 0, ixf + 1.0 - px_, px_ - ixf) * dd_
         return jnp.where((st_ == 0) & (tm == 0.0), big, tm)
 
-    def enter_dda(s, lanes, flags, ddx=ddx, ddy=ddy, ddz=ddz):
-        """SPHERE -> DDA for ``lanes``: floor pos, init tMax (lines 114-120)."""
-        fx = jnp.floor(s["px"])
-        fy = jnp.floor(s["py"])
-        fz = jnp.floor(s["pz"])
-        s["ix"] = jnp.where(lanes, fx.astype(_I32), s["ix"])
-        s["iy"] = jnp.where(lanes, fy.astype(_I32), s["iy"])
-        s["iz"] = jnp.where(lanes, fz.astype(_I32), s["iz"])
-        if not slim:
-            ntmx = jnp.where(stx > 0, fx + 1.0 - s["px"], s["px"] - fx) * ddx
-            ntmy = jnp.where(sty > 0, fy + 1.0 - s["py"], s["py"] - fy) * ddy
-            ntmz = jnp.where(stz > 0, fz + 1.0 - s["pz"], s["pz"] - fz) * ddz
-            s["tmx"] = jnp.where(lanes, ntmx, s["tmx"])
-            s["tmy"] = jnp.where(lanes, ntmy, s["tmy"])
-            s["tmz"] = jnp.where(lanes, ntmz, s["tmz"])
-        nf = _set(flags, _PH_SH, _PH_W, PHASE_DDA)
-        nf = _set(nf, _MK_SH, _MK_W, MASK_NONE)
-        nf = _set(nf, _DD_SH, _DD_W, 0)
-        nf = nf & ~(1 << _PR_SH)
-        return jnp.where(lanes, nf, flags)
-
-    probe_mask = rcfg.sdf_probe_interval - 1  # power of two
+    # Fused Pallas superstep: same math (_superstep_pregather/_update are
+    # shared verbatim), with the post-gather state machine compiled by
+    # Mosaic over the whole tile in VMEM.  Unsupported combos fall back.
+    fused = rcfg.fused_superstep and not slim and z_edges is None
 
     def body(s):
         if slim:
@@ -473,195 +710,19 @@ def _trace_impl(table, cfg: WorldConfig, rcfg: RenderConfig,
             l_ddx, l_ddy, l_ddz = ddx, ddy, ddz
             l_stx, l_sty, l_stz = stx, sty, stz
             s_tmx, s_tmy, s_tmz = s["tmx"], s["tmy"], s["tmz"]
-        flags = s["flags"]
-        phase = _get(flags, _PH_SH, _PH_W)
-        dda_i = _get(flags, _DD_SH, _DD_W)
-        probed = (flags >> _PR_SH) & 1
-
-        in_sphere = phase == PHASE_SPHERE
-        if sky_y is not None:
-            # above every solid voxel and not descending -> can never hit
-            sky_out = in_sphere & (dy >= 0) & (s["py"] >= sky_y)
-            in_sphere &= ~sky_out
-            flags = jnp.where(sky_out,
-                              _set(flags, _PH_SH, _PH_W, PHASE_MISS), flags)
-        if z_edges is not None:
-            # interior slab face -> hand the ray to the z neighbor instead
-            # of missing; x/y (or edge-shard z) overflow stays a real miss
-            xy_in = ((s["px"] >= 0) & (s["py"] >= 0)
-                     & (s["px"] < size_x) & (s["py"] < size_y))
-            exit_lo = in_sphere & xy_in & (s["pz"] < 0) & ~z_edges[0]
-            exit_hi = in_sphere & xy_in & (s["pz"] >= size_z) & ~z_edges[1]
-            sp_exit = exit_lo | exit_hi
-            in_sphere &= ~sp_exit
-            flags = jnp.where(exit_lo, _set(flags, _PH_SH, _PH_W,
-                                            PHASE_EXIT_LO), flags)
-            flags = jnp.where(exit_hi, _set(flags, _PH_SH, _PH_W,
-                                            PHASE_EXIT_HI), flags)
-            # sphere exits carry their position directly (mask = NONE)
-            flags = jnp.where(sp_exit,
-                              _set(flags, _MK_SH, _MK_W, MASK_NONE), flags)
-        in_dda = phase == PHASE_DDA
-        # probe superstep: reference's (i & 7) == 7 SDF re-check (line 127)
-        probe_turn = in_dda & ((dda_i & probe_mask) == probe_mask) \
-            & (probed == 0)
-        action_turn = in_dda & ~probe_turn
-
+        dirs_l = (dx, dy, dz, l_ddx, l_ddy, l_ddz, l_stx, l_sty, l_stz)
+        pre = _superstep_pregather(cfg, rcfg, dirs_l, s,
+                                   sky_y=sky_y, z_edges=z_edges)
         # ---------- THE gather (one per superstep) ----------
-        sph_or_probe = in_sphere | probe_turn
-        qvx = jnp.where(in_sphere, jnp.floor(s["px"]).astype(_I32), s["ix"])
-        qvy = jnp.where(in_sphere, jnp.floor(s["py"]).astype(_I32), s["iy"])
-        qvz = jnp.where(in_sphere, jnp.floor(s["pz"]).astype(_I32), s["iz"])
-        widx_sdf, bytepos = _sdf_word_index(cfg, bits_len, qvx, qvy, qvz)
-        widx_bit, _ = _brick_word_index(cfg, s["ix"], s["iy"], s["iz"])
-        widx = jnp.where(sph_or_probe, widx_sdf, widx_bit)
-        widx = jnp.clip(widx, 0, table_len - 1)
-        word = jnp.take(table, widx, mode="clip")
-        dist = ((word >> bytepos.astype(_U32)) & _U32(0xFF)).astype(_I32)
-
-        ns = dict(s)
-        nflags = flags
-
-        # ================= SPHERE phase =================
-        # (approximateCSDF, lines 65-83)
-        sphere_i = _get(flags, _SP_SH, _SP_W)
-        sp_oob = in_sphere & (
-            (s["px"] < 0) | (s["py"] < 0) | (s["pz"] < 0)
-            | (s["px"] >= size_x) | (s["py"] >= size_y) | (s["pz"] >= size_z))
-        sp_converged = in_sphere & ~sp_oob & (dist <= 1)
-        sp_march = in_sphere & ~sp_oob & ~sp_converged
-        sp_exhaust = sp_march & (sphere_i >= rcfg.max_sphere_steps - 1)
-
-        distf = dist.astype(_F32)
-        ns["px"] = jnp.where(sp_march, s["px"] + dx * distf, s["px"])
-        ns["py"] = jnp.where(sp_march, s["py"] + dy * distf, s["py"])
-        ns["pz"] = jnp.where(sp_march, s["pz"] + dz * distf, s["pz"])
-        nflags = jnp.where(sp_march,
-                           _set(nflags, _SP_SH, _SP_W, sphere_i + 1), nflags)
-        ns["px"] = jnp.where(sp_oob, OOB_POS, ns["px"])
-        ns["py"] = jnp.where(sp_oob, OOB_POS, ns["py"])
-        ns["pz"] = jnp.where(sp_oob, OOB_POS, ns["pz"])
-        to_dda = sp_oob | sp_converged | sp_exhaust
-        nflags = enter_dda(ns, to_dda, nflags)
-
-        # ================= DDA probe superstep =================
-        # (lines 127-141); no reference-iteration advance unless jumping
-        do_jump = probe_turn & (dist > rcfg.jump_min_dist)
-        no_jump = probe_turn & ~do_jump
-        cx = s["ix"].astype(_F32) + 0.5
-        cy = s["iy"].astype(_F32) + 0.5
-        cz = s["iz"].astype(_F32) + 0.5
-        t_proj = (cx - s["px"]) * dx + (cy - s["py"]) * dy \
-            + (cz - s["pz"]) * dz
-        jump_len = t_proj + dist.astype(_F32) * cfg.sdf_coarseness
-        major = _get(flags, _MJ_SH, _MJ_W)
-        new_major = major + 1
-        jump_miss = do_jump & (new_major >= rcfg.max_major_iterations)
-        jump_resphere = do_jump & ~jump_miss
-        ns["px"] = jnp.where(do_jump, s["px"] + jump_len * dx, ns["px"])
-        ns["py"] = jnp.where(do_jump, s["py"] + jump_len * dy, ns["py"])
-        ns["pz"] = jnp.where(do_jump, s["pz"] + jump_len * dz, ns["pz"])
-        nflags = jnp.where(do_jump, _set(nflags, _MJ_SH, _MJ_W, new_major),
-                           nflags)
-        nflags = jnp.where(jump_resphere,
-                           _set(_set(nflags, _PH_SH, _PH_W, PHASE_SPHERE),
-                                _SP_SH, _SP_W, 0), nflags)
-        nflags = jnp.where(jump_miss,
-                           _set(nflags, _PH_SH, _PH_W, PHASE_MISS), nflags)
-        # its: +1 for the DDA iteration that jumped (line 124), +1 more for
-        # the major-loop re-entry (line 107)
-        ns["its"] = jnp.where(jump_miss, s["its"] + 1, s["its"])
-        ns["its"] = jnp.where(jump_resphere, s["its"] + 2, ns["its"])
-        nflags = jnp.where(no_jump, nflags | (1 << _PR_SH), nflags)
-
-        # ================= DDA action superstep =================
-        # The gathered word is a 4x2x4 occupancy brick: up to dda_substeps
-        # reference loop iterations (lines 123-199) run against it on the
-        # VPU before the next gather.  A lane stops sub-stepping when it
-        # hits, goes OOB, exhausts the budget, reaches a probe boundary
-        # (i % 8 == 7, line 127), or leaves the brick.
-        l_ix, l_iy, l_iz = s["ix"], s["iy"], s["iz"]
-        l_tmx, l_tmy, l_tmz = s_tmx, s_tmy, s_tmz
-        l_mask = _get(flags, _MK_SH, _MK_W)
-        l_dda = dda_i
-        l_its = ns["its"]
-        false = action_turn & False
-        hit_acc, miss_acc, stepped = false, false, false
-        dda_exit_lo, dda_exit_hi = false, false
-        act = action_turn
-        for _k in range(max(rcfg.dda_substeps, 1)):
-            # loop-top its++ (line 124)
-            l_its = jnp.where(act, l_its + 1, l_its)
-            # bounds check (lines 144-147); in volume-sharded mode an
-            # interior z face is a handoff, not a miss
-            oob_k = act & ((l_ix < 0) | (l_iy < 0) | (l_iz < 0)
-                           | (l_ix >= size_x) | (l_iy >= size_y)
-                           | (l_iz >= size_z))
-            if z_edges is not None:
-                xy_in = ((l_ix >= 0) & (l_iy >= 0)
-                         & (l_ix < size_x) & (l_iy < size_y))
-                ex_lo = act & xy_in & (l_iz < 0) & ~z_edges[0]
-                ex_hi = act & xy_in & (l_iz >= size_z) & ~z_edges[1]
-                dda_exit_lo |= ex_lo
-                dda_exit_hi |= ex_hi
-                oob_k &= ~(ex_lo | ex_hi)
-                act &= ~(ex_lo | ex_hi)
-            miss_acc |= oob_k
-            act &= ~oob_k
-            # solid hit (lines 149-168): freeze; payload comes post-loop
-            _, bitpos_k = _brick_word_index(cfg, l_ix, l_iy, l_iz)
-            solid_k = ((word >> bitpos_k.astype(_U32)) & _U32(1)) != 0
-            hit_k = act & solid_k
-            hit_acc |= hit_k
-            act &= ~hit_k
-            # branchless axis step (lines 172-192)
-            step_x = act & (l_tmx < l_tmy) & (l_tmx < l_tmz)
-            step_y = act & ~step_x & (l_tmy < l_tmz)
-            step_z = act & ~step_x & ~step_y
-            l_tmx = jnp.where(step_x, l_tmx + l_ddx, l_tmx)
-            l_tmy = jnp.where(step_y, l_tmy + l_ddy, l_tmy)
-            l_tmz = jnp.where(step_z, l_tmz + l_ddz, l_tmz)
-            l_ix = jnp.where(step_x, l_ix + l_stx, l_ix)
-            l_iy = jnp.where(step_y, l_iy + l_sty, l_iy)
-            l_iz = jnp.where(step_z, l_iz + l_stz, l_iz)
-            l_mask = jnp.where(step_x, MASK_X,
-                               jnp.where(step_y, MASK_Y,
-                                         jnp.where(step_z, MASK_Z, l_mask)))
-            stepped |= act
-            l_dda = jnp.where(act, l_dda + 1, l_dda)
-            # budget exhausted without a jump -> miss (loop end, line 199)
-            bud = act & (l_dda >= rcfg.max_dda_steps)
-            miss_acc |= bud
-            act &= ~bud
-            if _k + 1 < rcfg.dda_substeps:
-                due = (l_dda & probe_mask) == probe_mask
-                nwi, _ = _brick_word_index(cfg, l_ix, l_iy, l_iz)
-                act &= ~due & (nwi == widx_bit)
-        ns["ix"] = jnp.where(action_turn, l_ix, ns["ix"])
-        ns["iy"] = jnp.where(action_turn, l_iy, ns["iy"])
-        ns["iz"] = jnp.where(action_turn, l_iz, ns["iz"])
-        if not slim:
-            ns["tmx"] = jnp.where(action_turn, l_tmx, ns["tmx"])
-            ns["tmy"] = jnp.where(action_turn, l_tmy, ns["tmy"])
-            ns["tmz"] = jnp.where(action_turn, l_tmz, ns["tmz"])
-        ns["its"] = l_its
-        nflags = jnp.where(action_turn,
-                           _set(_set(nflags, _MK_SH, _MK_W, l_mask),
-                                _DD_SH, _DD_W, l_dda), nflags)
-        nflags = jnp.where(stepped, nflags & ~(1 << _PR_SH), nflags)
-        nflags = jnp.where(hit_acc, _set(nflags, _PH_SH, _PH_W, PHASE_HIT),
-                           nflags)
-        nflags = jnp.where(miss_acc, _set(nflags, _PH_SH, _PH_W, PHASE_MISS),
-                           nflags)
-        if z_edges is not None:
-            nflags = jnp.where(dda_exit_lo,
-                               _set(nflags, _PH_SH, _PH_W, PHASE_EXIT_LO),
-                               nflags)
-            nflags = jnp.where(dda_exit_hi,
-                               _set(nflags, _PH_SH, _PH_W, PHASE_EXIT_HI),
-                               nflags)
-
-        ns["flags"] = nflags
+        word = jnp.take(table, pre["widx"], mode="clip")
+        if fused:
+            from rvgrt_tpu.ops import superstep_kernel
+            ns = superstep_kernel.fused_superstep(
+                cfg, rcfg, dirs_l, s, word, sky_y=sky_y)
+        else:
+            ns = _superstep_update(cfg, rcfg, dirs_l,
+                                   (s_tmx, s_tmy, s_tmz), s, pre, word,
+                                   z_edges=z_edges, carry_tm=not slim)
         ns["step"] = s["step"] + 1
         return ns
 

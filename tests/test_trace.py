@@ -409,3 +409,31 @@ def test_straggler_overflow_flag_zero_at_margin_cap(small_world):
                           dx / n_, dy / n_, dz / n_,
                           jnp.zeros((h, w), jnp.float32))
     assert np.asarray(got.degraded).sum() == 0
+
+
+def test_fused_superstep_matches_xla(small_world):
+    """ops/superstep_kernel.py (Pallas, interpret on CPU) == the XLA
+    superstep body, bit-exact on every TraceResult field, with and
+    without the sky early-out.  The kernel calls the SAME
+    _superstep_pregather/_superstep_update jnp functions, so this gate
+    guards the ref plumbing (VMEM I/O order, sky SMEM scalar, reshape)
+    rather than re-derived math."""
+    import dataclasses
+
+    cfg, bits, sdf, world = small_world
+    table = wavefront.make_trace_table(bits, sdf, cfg)
+    rc_x = RenderConfig(straggler_budget=0)
+    rc_f = dataclasses.replace(rc_x, fused_superstep=True)
+    n = 512
+    origins, dirs = _random_rays(n, 11, cfg.size_x)
+    args = (origins[:, 0], origins[:, 1], origins[:, 2],
+            dirs[:, 0], dirs[:, 1], dirs[:, 2], jnp.zeros(n, jnp.float32))
+    for sky in (None, jnp.float32(cfg.size_y)):
+        rx = wavefront.trace(None, None, cfg, rc_x, *args, table=table,
+                             sky_y=sky)
+        rf = wavefront.trace(None, None, cfg, rc_f, *args, table=table,
+                             sky_y=sky)
+        for k in rx._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(rx, k)), np.asarray(getattr(rf, k)),
+                err_msg=f"field {k} (sky={sky is not None})")
