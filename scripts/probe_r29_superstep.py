@@ -137,7 +137,18 @@ def main():
             None, world.sdf, cfg, rc, lc, cam, table=tb, sky_y=sy))
 
     hd, _ = prepass(rcfg)(tbl, sky_y)
-    start = pipeline.min_dist_upsample(hd)
+    pd = rcfg.prepass_divisor
+    if pd == 2:
+        start = pipeline.min_dist_upsample(hd)
+    else:
+        # the d>2 conservative {-1,0,1,2} min window (pipeline slab path)
+        m = hd
+        for ax in (0, 1):
+            acc = m
+            for dlt in (-1, 1, 2):
+                acc = jnp.minimum(acc, pipeline._clamped_shift(m, dlt, ax))
+            m = acc
+        start = jnp.repeat(jnp.repeat(m, pd, axis=0), pd, axis=1)
     jax.block_until_ready(start)
 
     def primary(rc, width=w, height=h):
