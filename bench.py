@@ -109,6 +109,12 @@ def main():
     # primary) - the superstep is not carry-HBM-bound; default off to
     # keep the incremental reference arithmetic
     slim = os.environ.get("BENCH_SLIM", "0") == "1"
+    # fused Pallas superstep (ops/superstep_kernel.py): post-gather state
+    # machine as one Mosaic kernel per superstep, tile state in VMEM.
+    # probe_r29 within-run: primary 336.5 -> 316.8 ms, checker 203.2 ->
+    # 190.4 (1.06x), prepass neutral; BIT-EXACT vs the XLA body (gated
+    # per-field in tests).  BENCH_FUSED=0 restores the XLA superstep.
+    fused = os.environ.get("BENCH_FUSED", "1") == "1" and not slim
     # GI window cadence: 2 = update the progressive window every other
     # frame (GI update measured 68 ms/window at the r4 probe - the sweep
     # period doubles, the steady state is unchanged)
@@ -174,6 +180,8 @@ def main():
         # slim superstep carry (RenderConfig.slim_carry): tMax recomputed
         # instead of carried; hit/normal parity gated in tests
         rcfg = dataclasses.replace(rcfg, slim_carry=True)
+    if fused:
+        rcfg = dataclasses.replace(rcfg, fused_superstep=True)
     # cone-march site stride: 16 cuts GI-composite gathers 16x vs the
     # default 4.  Quality ladder vs the exact per-pixel march (cube 7,
     # 192x120 - far FEWER world-space sites than this frame's 80x50 at
