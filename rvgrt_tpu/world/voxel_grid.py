@@ -6,8 +6,9 @@ holds voxels ``x = 32*w .. 32*w+31`` at fixed (y, z), and the linear bit index
 is ``x | y << shift_x | z << (shift_x + shift_y)`` (``toIndex``,
 ``cumath.cuh:33-45``).  ``generate`` is the ``fillKernel`` equivalent
 (``CArray.cu:8-30``): evaluate the terrain density at every voxel and pack
-``density > 0.7`` bits — done slab-by-slab with ``lax.map`` so the unpacked
-boolean volume never materializes in HBM.
+``density > 0.7`` bits — dispatched as fixed-size shape-generic chunks so the
+unpacked boolean volume never materializes in HBM and ONE small executable
+serves every world size (the build is compile-bound, PERF.md round-5).
 
 Word indices stay int32: the word count is ``num_voxels / 32`` ≤ 2^28 even for
 the reference's 2^33-voxel world.
@@ -45,13 +46,71 @@ def unpack_bits_x(words: jax.Array) -> jax.Array:
     return bits.reshape(*lead, w * 32).astype(jnp.bool_)
 
 
+# Words per generate chunk: 2^19 words = 16.7M voxels -> ~25 ms of device
+# compute and <= ~70 MB f32 temps per elementwise op in the fused chain.
+GENERATE_CHUNK_WORDS = 1 << 19
+
+
+def _generate_chunk(w0, wpx_mask, wpx_shift, sy_mask, sy_shift, thr,
+                    tcfg: TerrainConfig, chunk_words: int) -> jax.Array:
+    """One fixed-size chunk of the world's occupancy words.
+
+    All world-shape dependence (the word->(x,y,z) decode masks/shifts and
+    the solid threshold) comes in as DEVICE scalars, so the jitted
+    program is identical for every world size with the same chunk size:
+    one small executable serves 1024^3, 2048^3 and the reference's
+    4096x512x4096 world, compiles once per process and always hits the
+    persistent cache (round-5 probe: per-shape slab compiles cost 56 s at
+    slab_z=8 / 319 s at slab_z=32 for 2048^3, vs ~10-13 s of actual
+    device compute - the build was compile-bound, PERF.md).
+    """
+    wi = w0 + jnp.arange(chunk_words, dtype=_I32)
+    # word -> (x0, y, z): x-fastest words (toIndex, cumath.cuh:33-45)
+    x0 = (wi & wpx_mask) << 5
+    rest = wi >> wpx_shift
+    y = rest & sy_mask
+    z = rest >> sy_shift
+    xs = (x0[:, None] + jnp.arange(32, dtype=_I32)).astype(jnp.float32)
+    ys = y.astype(jnp.float32)[:, None]
+    zs = z.astype(jnp.float32)[:, None]
+    density = terrain.evaluate_density(xs, ys, zs, tcfg)  # (chunk, 32)
+    return pack_bits_x(density > thr)[:, 0]  # (chunk_words,)
+
+
 def generate(cfg: WorldConfig, tcfg: TerrainConfig = TerrainConfig(),
              slab_z: int = 8) -> jax.Array:
     """Procedurally generate the world -> flat (num_words,) uint32.
 
     Pure function of (cfg, tcfg): deterministic regeneration is the
     checkpoint format, as in the reference (State.cpp:44-54).
+
+    Dispatches a Python loop of fixed-size shape-generic chunks (see
+    ``_generate_chunk``); eager-only by design - under an outer jit the
+    loop would unroll.  ``slab_z`` is accepted for backward compatibility
+    and ignored (the old per-shape slab path is ``generate_slabs``).
     """
+    del slab_z
+    cfg.validate()
+    n = cfg.num_words
+    chunk = min(GENERATE_CHUNK_WORDS, n)
+    assert n % chunk == 0  # both are powers of two
+
+    fn = jax.jit(_generate_chunk, static_argnames=("tcfg", "chunk_words"))
+    wpx = cfg.size_x // 32
+    args = (jnp.int32(wpx - 1),
+            jnp.int32(cfg.shift_x - 5),
+            jnp.int32(cfg.size_y - 1),
+            jnp.int32(cfg.shift_y),
+            jnp.float32(cfg.solid_threshold))
+    parts = [fn(jnp.int32(w0), *args, tcfg=tcfg, chunk_words=chunk)
+             for w0 in range(0, n, chunk)]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+
+def generate_slabs(cfg: WorldConfig, tcfg: TerrainConfig = TerrainConfig(),
+                   slab_z: int = 8) -> jax.Array:
+    """The pre-round-5 z-slab ``lax.map`` generate (per-shape executable);
+    kept for A/B measurement (scripts/probe_r30_worldbuild.py)."""
     cfg.validate()
     sx, sy, sz = cfg.size_x, cfg.size_y, cfg.size_z
     slab_z = min(slab_z, sz)
