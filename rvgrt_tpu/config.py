@@ -462,6 +462,11 @@ def config_stage5() -> EngineConfig:
         lighting=dataclasses.replace(LightingConfig(), soft_shadows=True,
                                      soft_shadow_stride=2),
         gi_straggler_budget=12,
+        # ray-free horizon-mapping GI init (gated vs traced in
+        # tests/test_world.py): the traced init costs 51 s of the 87 s
+        # 2048^3 build and the progressive sweep re-traces every cell
+        # within gi_sweep_frames anyway (round-5 build census, PERF.md)
+        gi_init_mode="heightfield",
     )
 
 

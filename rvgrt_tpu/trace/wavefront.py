@@ -120,22 +120,34 @@ def make_trace_table(bits: jax.Array, sdf: jax.Array,
     """
     from rvgrt_tpu.world import voxel_grid
 
-    # strided 1-D slices, NOT reshape(-1, 4): a (N, 4) array pads its
-    # trailing dim to 128 lanes on TPU (16 GB of padding at 1024^3 scale)
-    s = sdf.astype(_U32)
-    packed = (s[0::4] | (s[1::4] << 8) | (s[2::4] << 16) | (s[3::4] << 24))
+    # QUARTERED pack: byte k of word w = cell ``w + k * (num_cells/4)``,
+    # i.e. four contiguous quarter-slices OR'd together - dense
+    # elementwise ops with no tiny trailing dim and no striding.  The
+    # round-4 consecutive-cells-per-word layout cost 24 s at 2048^3 (the
+    # s[0::4] strided slices lower to scatter-pattern relayouts,
+    # probe_r32); a (N, 4)+bitcast formulation pads the trailing dim to
+    # 128 lanes (a 137 GB alloc at 2048^3) and u8->u32 BitcastConvert
+    # also hangs this jaxlib's XLA:CPU.  The tracer-side index math
+    # (``_sdf_word_index``) has the same op count in either layout.
+    q = sdf.reshape(4, cfg.sdf_num_cells // 4).astype(_U32)
+    packed = q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24)
     return jnp.concatenate([voxel_grid.to_brick_words(bits, cfg), packed])
 
 
 def _sdf_word_index(cfg: WorldConfig, bits_len: int, vx, vy, vz):
     """Combined-table index + byte position for an SDF lookup at fine-voxel
-    coords (the getDistance clamp semantics, raytracing_functions.cuh:35-67)."""
+    coords (the getDistance clamp semantics, raytracing_functions.cuh:35-67).
+
+    Quartered layout (see ``make_trace_table``): cell ``cidx`` lives in
+    word ``cidx mod num_cells/4`` at byte ``cidx div num_cells/4``."""
     c = cfg.sdf_coarseness
     cx = jnp.clip(vx // c, 0, cfg.sdf_size_x - 1)
     cy = jnp.clip(vy // c, 0, cfg.sdf_size_y - 1)
     cz = jnp.clip(vz // c, 0, cfg.sdf_size_z - 1)
     cidx = cz * (cfg.sdf_size_x * cfg.sdf_size_y) + cy * cfg.sdf_size_x + cx
-    return bits_len + (cidx >> 2), (cidx & 3) << 3
+    qshift = (cfg.sdf_num_cells // 4).bit_length() - 1  # log2(num_cells/4)
+    return (bits_len + (cidx & (cfg.sdf_num_cells // 4 - 1)),
+            (cidx >> qshift) << 3)
 
 
 def _brick_word_index(cfg: WorldConfig, vx, vy, vz):

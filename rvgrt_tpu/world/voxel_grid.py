@@ -209,6 +209,41 @@ def to_brick_words(bits: jax.Array, cfg: WorldConfig) -> jax.Array:
     return out.reshape(-1)
 
 
+def to_brick_words_dense(bits: jax.Array, cfg: WorldConfig) -> jax.Array:
+    """``to_brick_words`` without strided-slice updates (which lower to
+    scatters on TPU): brick word ``i`` along x takes its 4-voxel quad
+    ``i & 7`` from canonical word ``i >> 3``, so per (by, bz) the
+    contribution is the canonical sub-plane repeated 8x along x, shifted
+    right by ``4*(i & 7)`` and masked - dense elementwise ops only.
+    Bit-exact vs ``to_brick_words`` (gated in tests/test_world.py)."""
+    xw = cfg.size_x // 32
+    vol = bits.reshape(cfg.size_z, cfg.size_y, xw)
+    nib_shift = (_U32(4) * (jnp.arange(xw * 8, dtype=_U32) & _U32(7)))
+
+    def chunk_fn(v):
+        czb = v.shape[0] // BRICK_Z
+        yb = cfg.size_y // BRICK_Y
+        acc = jnp.zeros((czb, yb, xw * 8), _U32)
+        for bz in range(BRICK_Z):
+            for by in range(BRICK_Y):
+                sub = v[bz::BRICK_Z, by::BRICK_Y]        # (czb, yb, xw)
+                rep = jnp.repeat(sub, 8, axis=-1)        # (czb, yb, xw*8)
+                quad = (rep >> nib_shift) & _U32(0xF)
+                acc = acc + (quad << _U32(4 * by + 8 * bz))
+        return acc
+
+    chunks = max(1, (vol.size * 4) >> 28)
+    while chunks > 1 and (cfg.size_z % chunks
+                          or (cfg.size_z // chunks) % BRICK_Z):
+        chunks -= 1
+    if chunks <= 1:
+        return chunk_fn(vol).reshape(-1)
+    out = jax.lax.map(chunk_fn,
+                      vol.reshape((chunks, cfg.size_z // chunks)
+                                  + vol.shape[1:]))
+    return out.reshape(-1)
+
+
 def sky_limit(bits: jax.Array, cfg: WorldConfig) -> jax.Array:
     """1 + the highest solid voxel's y (f32 scalar), for the tracer's
     sky early-exit (``wavefront.trace(sky_y=...)``): an upward ray at or
